@@ -1,0 +1,79 @@
+"""End-to-end synthesis benchmark: FastSpeech2 -> Parallel WaveGAN.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric of record (BASELINE.md): end-to-end synthesis real-time factor
+(RTF = synthesis_time / audio_duration) for the reference-default
+FastSpeech2 (384-dim, text -> 80-mel @ 24 kHz hop 300) followed by the
+reference-default PWGGenerator (30 layers, x300 upsampling).  Baseline
+target is RTF 0.01 (BASELINE.json, v4-8); vs_baseline = 0.01 / measured
+(>1 means better than the target).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import FastSpeech2, PWGGenerator
+    from parakeet_tpu.models.fastspeech2 import FastSpeech2 as FS2
+
+    sr, hop = 24000, 300
+    max_frames = 896  # ~11.2 s of audio capacity
+    text_len = 128
+
+    fs2 = FastSpeech2(idim=80, odim=80, adim=384, aheads=4, elayers=4,
+                      eunits=1536, dlayers=4, dunits=1536)
+    pwg = PWGGenerator(layers=30, stacks=3, residual_channels=64,
+                       gate_channels=128, skip_channels=64,
+                       upsample_scales=(5, 6, 10),  # 300x for hop 300
+                       aux_context_window=2)
+
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 80, (1, text_len)).astype(np.int64))
+    text_lengths = jnp.asarray(np.array([text_len], np.int64))
+    key = jax.random.PRNGKey(0)
+    fs2_vars = fs2.init({"params": key}, text, text_lengths,
+                        max_frames=max_frames, method=FS2.inference)
+    noise = jnp.zeros((1, max_frames * hop, 1), jnp.float32)
+    mel_probe = jnp.zeros((1, max_frames + 4, 80), jnp.float32)
+    pwg_vars = pwg.init(jax.random.PRNGKey(1), noise, mel_probe)
+
+    @jax.jit
+    def synthesize(fs2_params, pwg_params, text, text_lengths, noise):
+        out = fs2.apply({"params": fs2_params}, text, text_lengths,
+                        max_frames=max_frames, method=FS2.inference)
+        mel = out["after_outs"]
+        mel = jnp.pad(mel, ((0, 0), (2, 2), (0, 0)), mode="edge")
+        wav = pwg.apply({"params": pwg_params}, noise, mel)
+        return wav[..., 0], out["frame_lengths"]
+
+    args = (fs2_vars["params"], pwg_vars["params"], text, text_lengths,
+            jax.random.normal(jax.random.PRNGKey(2), noise.shape))
+    # warmup / compile
+    wav, frame_lengths = synthesize(*args)
+    wav.block_until_ready()
+
+    iters = 5
+    tic = time.perf_counter()
+    for _ in range(iters):
+        wav, frame_lengths = synthesize(*args)
+    wav.block_until_ready()
+    elapsed = (time.perf_counter() - tic) / iters
+
+    audio_seconds = wav.shape[-1] / sr
+    rtf = elapsed / audio_seconds
+    baseline_rtf = 0.01
+    print(json.dumps({
+        "metric": "fastspeech2_pwgan_e2e_rtf",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(baseline_rtf / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,378 @@
+"""Transformer building blocks (flax.linen).
+
+TPU-native equivalents of the reference's ESPnet-derived transformer stack
+(reference: parakeet/modules/fastspeech2_transformer/{attention.py:24,
+encoder.py:27, encoder_layer.py:19, decoder.py:36, multi_layer_conv.py:18,
+embedding.py:21}).  Differences from the reference by design:
+
+- NLC layout end to end (no NCL transposes): flax convs are feature-last,
+  which is also the natural TPU layout.
+- attention is one fused einsum pair per layer, batched over heads, with an
+  additive mask — no per-head python loops.
+- ``dtype`` threads a compute dtype (use bfloat16 on TPU) while parameters
+  stay float32.
+- decoding uses an explicit KV-cache carried through ``lax.scan`` (see
+  ``models/transformer_tts.py``) instead of python-side cache lists.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.positional import sinusoid_position_encoding
+
+__all__ = [
+    "MultiHeadAttention", "PositionwiseFeedForward", "MultiLayerConv",
+    "PositionalEncoding", "ScaledPositionalEncoding", "EncoderLayer",
+    "TransformerEncoder", "DecoderLayer", "TransformerDecoder",
+]
+
+_NEG_INF = -1e9
+
+
+class PositionalEncoding(nn.Module):
+    """x * sqrt(d) + PE, then dropout (ESPnet convention)."""
+    d_model: int
+    dropout_rate: float = 0.1
+    scaled: bool = False  # learnable alpha variant: x + alpha * PE
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 start_pos: int = 0) -> jnp.ndarray:
+        t = x.shape[1]
+        pe = sinusoid_position_encoding(t, self.d_model,
+                                        start_pos=start_pos,
+                                        dtype=self.dtype)[None]
+        if self.scaled:
+            alpha = self.param("alpha", nn.initializers.ones, (1,))
+            x = x + alpha.astype(self.dtype) * pe
+        else:
+            x = x * jnp.sqrt(jnp.asarray(self.d_model, self.dtype)) + pe
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+def ScaledPositionalEncoding(d_model, dropout_rate=0.1, dtype=jnp.float32):
+    return PositionalEncoding(d_model, dropout_rate, scaled=True, dtype=dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head scaled dot-product attention.
+
+    ``mask``: bool, True = attendable; broadcastable to (B, 1, Tq, Tk).
+    Returns (output, attn_weights (B, H, Tq, Tk)).
+    """
+    n_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, *,
+                 deterministic: bool = True, cache=None):
+        d_k = self.d_model // self.n_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (self.n_heads, d_k), dtype=self.dtype, name=name)
+        q = dense("q")(query)                       # (B, Tq, H, dk)
+        k = dense("k")(key)
+        v = dense("v")(value)
+        if cache is not None:
+            # decode step: append to carried cache (see TransformerDecoder)
+            k = jnp.concatenate([cache["k"], k], axis=1)
+            v = jnp.concatenate([cache["v"], v], axis=1)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+        if mask is not None:
+            if mask.ndim == 3:
+                mask = mask[:, None]               # (B, 1, Tq, Tk)
+            scores = jnp.where(mask, scores, _NEG_INF)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn,
+                                             deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(
+            self.dtype)
+        out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype,
+                              name="out")(out)
+        new_cache = {"k": k, "v": v} if cache is not None else None
+        return out, attn, new_cache
+
+
+class PositionwiseFeedForward(nn.Module):
+    """linear -> relu -> dropout -> linear."""
+    hidden_units: int
+    d_model: int
+    dropout_rate: float = 0.1
+    activation: Callable = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = nn.Dense(self.hidden_units, dtype=self.dtype)(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, dtype=self.dtype)(h)
+
+
+class MultiLayerConv(nn.Module):
+    """conv1d -> relu -> dropout -> conv1d, feature-last.
+
+    The FastSpeech positionwise variant (reference:
+    parakeet/modules/fastspeech2_transformer/multi_layer_conv.py:18-120);
+    ``second_linear`` selects the Conv1dLinear flavor.
+    """
+    hidden_units: int
+    d_model: int
+    kernel_size: int = 1
+    dropout_rate: float = 0.1
+    second_linear: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = nn.Conv(self.hidden_units, (self.kernel_size,), padding="SAME",
+                    dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        if self.second_linear:
+            return nn.Dense(self.d_model, dtype=self.dtype)(h)
+        return nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
+                       dtype=self.dtype)(h)
+
+
+def _make_positionwise(layer_type: str, units: int, d_model: int,
+                       kernel_size: int, dropout: float, dtype):
+    if layer_type == "linear":
+        return PositionwiseFeedForward(units, d_model, dropout, dtype=dtype)
+    if layer_type == "conv1d":
+        return MultiLayerConv(units, d_model, kernel_size, dropout,
+                              dtype=dtype)
+    if layer_type == "conv1d-linear":
+        return MultiLayerConv(units, d_model, kernel_size, dropout,
+                              second_linear=True, dtype=dtype)
+    raise ValueError(f"unknown positionwise layer type {layer_type!r}")
+
+
+class EncoderLayer(nn.Module):
+    """Self-attention encoder layer, pre- or post-LN, concat_after option."""
+    d_model: int
+    n_heads: int
+    units: int
+    dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.0
+    normalize_before: bool = True
+    concat_after: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        attn_out, attn_w, _ = MultiHeadAttention(
+            self.n_heads, self.d_model, self.attn_dropout_rate,
+            dtype=self.dtype, name="self_attn")(
+                x, x, x, mask, deterministic=deterministic)
+        if self.concat_after:
+            x = residual + nn.Dense(self.d_model, dtype=self.dtype,
+                                    name="concat_proj")(
+                jnp.concatenate([x, attn_out], axis=-1))
+        else:
+            x = residual + nn.Dropout(self.dropout_rate)(
+                attn_out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        ff = _make_positionwise(
+            self.positionwise_layer_type, self.units, self.d_model,
+            self.positionwise_conv_kernel_size, self.dropout_rate,
+            self.dtype)(x, deterministic=deterministic)
+        x = residual + nn.Dropout(self.dropout_rate)(
+            ff, deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        return x, attn_w
+
+
+class TransformerEncoder(nn.Module):
+    """Token- or feature-input transformer encoder.
+
+    ``input_layer``: "embed" (token ids), "linear" (project features), or
+    None (features already d_model wide).  Returns (hs, attn_stack) where
+    attn_stack is (L, B, H, T, T) — useful for guided-attention losses and
+    alignment plots.
+    """
+    d_model: int = 384
+    n_heads: int = 4
+    units: int = 1536
+    num_layers: int = 6
+    input_layer: Optional[str] = "embed"
+    vocab_size: int = 0
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.0
+    use_scaled_pos_enc: bool = True
+    normalize_before: bool = True
+    concat_after: bool = False
+    positionwise_layer_type: str = "conv1d"
+    positionwise_conv_kernel_size: int = 1
+    padding_idx: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, mask=None, *, deterministic: bool = True):
+        if self.input_layer == "embed":
+            emb = nn.Embed(self.vocab_size, self.d_model,
+                           dtype=self.dtype, name="embed")(xs)
+            # zero out padding ids (paddle Embedding padding_idx semantics)
+            emb = emb * (xs != self.padding_idx)[..., None].astype(emb.dtype)
+            x = emb
+        elif self.input_layer == "linear":
+            x = nn.Dense(self.d_model, dtype=self.dtype, name="embed")(xs)
+        elif self.input_layer is None:
+            x = xs
+        else:
+            raise ValueError(f"unknown input_layer {self.input_layer!r}")
+        x = PositionalEncoding(
+            self.d_model, self.positional_dropout_rate,
+            scaled=self.use_scaled_pos_enc, dtype=self.dtype,
+            name="pos_enc")(x, deterministic=deterministic)
+
+        attns = []
+        for i in range(self.num_layers):
+            x, attn = EncoderLayer(
+                self.d_model, self.n_heads, self.units,
+                self.dropout_rate, self.attn_dropout_rate,
+                self.normalize_before, self.concat_after,
+                self.positionwise_layer_type,
+                self.positionwise_conv_kernel_size,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    x, mask, deterministic=deterministic)
+            attns.append(attn)
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        return x, jnp.stack(attns)
+
+
+class DecoderLayer(nn.Module):
+    """Masked self-attention + cross-attention decoder layer (pre/post-LN).
+
+    When ``cache`` is given (incremental decode) the query is the new step
+    only and self-attention keys/values extend the cache.
+    """
+    d_model: int
+    n_heads: int
+    units: int
+    dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.0
+    normalize_before: bool = True
+    concat_after: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, self_mask=None, cross_mask=None, *,
+                 deterministic: bool = True, cache=None):
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        sa_out, sa_w, new_cache = MultiHeadAttention(
+            self.n_heads, self.d_model, self.attn_dropout_rate,
+            dtype=self.dtype, name="self_attn")(
+                x, x, x, self_mask, deterministic=deterministic, cache=cache)
+        if self.concat_after:
+            x = residual + nn.Dense(self.d_model, dtype=self.dtype,
+                                    name="concat_proj1")(
+                jnp.concatenate([x, sa_out], axis=-1))
+        else:
+            x = residual + nn.Dropout(self.dropout_rate)(
+                sa_out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        ca_out, ca_w, _ = MultiHeadAttention(
+            self.n_heads, self.d_model, self.attn_dropout_rate,
+            dtype=self.dtype, name="src_attn")(
+                x, memory, memory, cross_mask, deterministic=deterministic)
+        if self.concat_after:
+            x = residual + nn.Dense(self.d_model, dtype=self.dtype,
+                                    name="concat_proj2")(
+                jnp.concatenate([x, ca_out], axis=-1))
+        else:
+            x = residual + nn.Dropout(self.dropout_rate)(
+                ca_out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        ff = PositionwiseFeedForward(
+            self.units, self.d_model, self.dropout_rate,
+            dtype=self.dtype, name="ff")(x, deterministic=deterministic)
+        x = residual + nn.Dropout(self.dropout_rate)(
+            ff, deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x, (sa_w, ca_w), new_cache
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack with feature prenet input ("linear" input layer).
+
+    Returns (hs, self_attns (L,B,H,Tq,Tq), cross_attns (L,B,H,Tq,Tk)).
+    """
+    d_model: int = 384
+    n_heads: int = 4
+    units: int = 1536
+    num_layers: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.0
+    use_scaled_pos_enc: bool = True
+    normalize_before: bool = True
+    concat_after: bool = False
+    input_layer: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, memory, self_mask=None, cross_mask=None, *,
+                 deterministic: bool = True, caches=None, start_pos: int = 0):
+        x = xs
+        if self.input_layer == "linear":
+            x = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
+        x = PositionalEncoding(
+            self.d_model, self.positional_dropout_rate,
+            scaled=self.use_scaled_pos_enc, dtype=self.dtype,
+            name="pos_enc")(x, deterministic=deterministic,
+                            start_pos=start_pos)
+        self_attns, cross_attns, new_caches = [], [], []
+        for i in range(self.num_layers):
+            cache_i = None if caches is None else caches[i]
+            x, (sa, ca), nc = DecoderLayer(
+                self.d_model, self.n_heads, self.units,
+                self.dropout_rate, self.attn_dropout_rate,
+                self.normalize_before, self.concat_after,
+                dtype=self.dtype, name=f"layer_{i}")(
+                    x, memory, self_mask, cross_mask,
+                    deterministic=deterministic, cache=cache_i)
+            self_attns.append(sa)
+            cross_attns.append(ca)
+            new_caches.append(nc)
+        if self.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        out = (x, jnp.stack(self_attns), jnp.stack(cross_attns))
+        if caches is not None:
+            return out + (new_caches,)
+        return out

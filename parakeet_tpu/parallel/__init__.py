@@ -1,0 +1,6 @@
+"""Mesh/sharding helpers for SPMD data (and tensor) parallelism."""
+from .mesh import (data_parallel_sharding, local_batch_slice, make_mesh,
+                   process_index, rank_zero_only, replicate, shard_batch)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
+           "rank_zero_only", "process_index", "local_batch_slice"]

@@ -1,0 +1,82 @@
+"""Device mesh and sharding helpers (SPMD).
+
+The TPU-native replacement for the reference's distributed surface —
+paddle.DataParallel + dist.spawn + NCCL allreduce (reference:
+examples/fastspeech2/train.py:53,136,208; SURVEY §2.9).  Instead of process
+spawning and wrapped modules, we build a ``jax.sharding.Mesh`` and annotate
+shardings: parameters replicated, batch sharded over the ``data`` axis.
+XLA inserts the gradient all-reduce over ICI automatically; the same code
+scales to multihost via ``jax.distributed.initialize`` + DCN.
+
+A ``model`` axis is provisioned for tensor parallelism of larger models;
+with mesh shape (N, 1) the behavior is pure DP.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
+           "rank_zero_only", "process_index", "local_batch_slice"]
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build an ('data', 'model') mesh; data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch: leading axis split over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a batch pytree with the leading axis sharded over 'data'.
+
+    Every array's first dimension must be divisible by the data axis size.
+    """
+    sharding = data_parallel_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jax.numpy.asarray(x), sharding), batch)
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def rank_zero_only(fn):
+    """Decorator: run only on process 0 (reference: utils/mp_tools.py:21)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if jax.process_index() == 0:
+            return fn(*args, **kwargs)
+        return None
+    return wrapper
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This host's slice of a globally-sharded batch (multihost input)."""
+    per_host = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

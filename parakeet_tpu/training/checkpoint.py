@@ -1,0 +1,164 @@
+"""Pytree checkpointing with a snapshot ring.
+
+One checkpoint format for the whole framework (the reference carries two:
+.pdz archives + step-N.pdparams, SURVEY §5.4; reference:
+parakeet/training/extensions/snapshot.py:36-111, parakeet/utils/
+checkpoint.py:31-127).  Design:
+
+- a checkpoint is a single ``.npz`` holding the flattened pytree (arrays)
+  plus a JSON sidecar entry for scalars/metadata — multihost-safe because
+  only process 0 writes, and device arrays are pulled to host first.
+- ``records.jsonl`` is the ring ledger: newest-last records with path,
+  iteration, timestamp; ``max_size`` newest snapshots are kept.
+- resume = read newest record, load, return the pytree with the original
+  structure (the caller supplies a template for structure/dtype).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["flatten_tree", "unflatten_tree", "save_pytree", "load_pytree",
+           "SnapshotRing", "latest_record"]
+
+_SEP = "::"
+
+
+def flatten_tree(tree) -> Dict[str, np.ndarray]:
+    """Pytree -> {path::to::leaf: host ndarray}."""
+    flat: Dict[str, np.ndarray] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(_key_str(k) for k in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _key_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    if hasattr(entry, "name"):
+        return str(entry.name)
+    return str(entry)
+
+
+def unflatten_tree(template, flat: Dict[str, np.ndarray]):
+    """Rebuild a pytree shaped like ``template`` from flattened arrays."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_and_leaves:
+        key = _SEP.join(_key_str(k) for k in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        value = flat[key]
+        if hasattr(leaf, "dtype"):
+            value = value.astype(leaf.dtype)
+            if value.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {key!r}: checkpoint "
+                    f"{value.shape} vs template {leaf.shape}")
+        leaves.append(value)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_pytree(path, tree, metadata: Optional[dict] = None) -> None:
+    """Atomically save a pytree (+ JSON metadata) to ``path`` (.npz)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = flatten_tree(tree)
+    flat["__metadata__"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def load_pytree(path, template=None):
+    """Load (tree-or-flat-dict, metadata) from ``path``.
+
+    With a ``template`` the original pytree structure is restored;
+    otherwise the flat {key: array} dict is returned.
+    """
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    meta_raw = flat.pop("__metadata__", None)
+    metadata = (json.loads(bytes(meta_raw.tobytes()).decode())
+                if meta_raw is not None else {})
+    if template is not None:
+        return unflatten_tree(template, flat), metadata
+    return flat, metadata
+
+
+def latest_record(directory) -> Optional[dict]:
+    """Newest record from ``records.jsonl`` in ``directory`` (or None)."""
+    records_path = Path(directory) / "records.jsonl"
+    if not records_path.exists():
+        return None
+    last = None
+    with open(records_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                last = json.loads(line)
+    return last
+
+
+class SnapshotRing:
+    """Keeps the ``max_size`` newest snapshots + a records.jsonl ledger."""
+
+    def __init__(self, directory, max_size: int = 5,
+                 prefix: str = "snapshot_iter_"):
+        self.directory = Path(directory)
+        self.max_size = max_size
+        self.prefix = prefix
+        self.records: List[dict] = []
+        records_path = self.directory / "records.jsonl"
+        if records_path.exists():
+            with open(records_path) as f:
+                self.records = [json.loads(l) for l in f if l.strip()]
+
+    def path_for(self, iteration: int) -> Path:
+        return self.directory / f"{self.prefix}{iteration}.npz"
+
+    def save(self, iteration: int, tree, metadata: Optional[dict] = None
+             ) -> Path:
+        path = self.path_for(iteration)
+        meta = dict(metadata or {})
+        meta["iteration"] = iteration
+        save_pytree(path, tree, meta)
+        self.register(path, iteration)
+        return path
+
+    def register(self, path, iteration: int) -> None:
+        """Record an externally written snapshot and prune the ring."""
+        self.records.append({
+            "time": time.time(),
+            "path": str(path),
+            "iteration": iteration,
+        })
+        while len(self.records) > self.max_size:
+            victim = self.records.pop(0)
+            try:
+                os.unlink(victim["path"])
+            except FileNotFoundError:
+                pass
+        self._write_records()
+
+    def _write_records(self) -> None:
+        self.directory.mkdir(parents=True, exist_ok=True)
+        tmp = self.directory / "records.jsonl.tmp"
+        with open(tmp, "w") as f:
+            for r in self.records:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, self.directory / "records.jsonl")
+
+    def latest(self) -> Optional[dict]:
+        return self.records[-1] if self.records else None

@@ -1,0 +1,127 @@
+"""Updaters: the training-step abstraction.
+
+Same role as the reference's UpdaterBase/StandardUpdater (reference:
+parakeet/training/updater.py:21-85, standard_updater.py:31-199) with the
+TPU-first twist: the actual step is a *pure jitted function*
+``(TrainState, batch) -> (TrainState, metrics)`` — autograd, optimizer
+update, and collective gradient reduction all live inside one XLA program.
+The updater owns the host-side iteration/epoch counters and the data
+iterator.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import load_pytree, save_pytree
+from .reporter import report
+from .state import TrainState
+
+__all__ = ["UpdaterState", "UpdaterBase", "StandardUpdater"]
+
+
+@dataclasses.dataclass
+class UpdaterState:
+    iteration: int = 0
+    epoch: int = 0
+
+
+class UpdaterBase:
+    """Protocol: update() performs one training step."""
+
+    def __init__(self):
+        self.state = UpdaterState()
+
+    def update(self) -> None:
+        raise NotImplementedError
+
+    def state_dict(self):
+        return {"iteration": self.state.iteration, "epoch": self.state.epoch}
+
+    def set_state_dict(self, state_dict) -> None:
+        self.state.iteration = int(state_dict["iteration"])
+        self.state.epoch = int(state_dict["epoch"])
+
+    def save(self, path) -> None:
+        save_pytree(path, {}, metadata=self.state_dict())
+
+    def load(self, path) -> None:
+        _, meta = load_pytree(path)
+        self.set_state_dict(meta)
+
+
+class StandardUpdater(UpdaterBase):
+    """One jitted step over one dataloader.
+
+    Parameters
+    ----------
+    step_fn : (TrainState, batch) -> (TrainState, metrics dict).  Should be
+        jit-compiled (donate the state argument for in-place updates).
+    train_state : initial TrainState pytree.
+    dataloader : iterable of batches; re-iterated each epoch.  If its
+        ``batch_sampler`` has ``set_epoch`` it is called on epoch renewal
+        (the DistributedBatchSampler semantics, standard_updater.py:162-168).
+    reports_prefix : prepended to metric names in report().
+    """
+
+    def __init__(self, step_fn: Callable, train_state: TrainState,
+                 dataloader, reports_prefix: str = "train/"):
+        super().__init__()
+        self.step_fn = step_fn
+        self.train_state = train_state
+        self.dataloader = dataloader
+        self.reports_prefix = reports_prefix
+        self._iterator: Optional[Iterator] = None
+        self.last_metrics: Dict[str, Any] = {}
+
+    def read_batch(self):
+        if self._iterator is None:
+            self._set_epoch()
+            self._iterator = iter(self.dataloader)
+        try:
+            return next(self._iterator)
+        except StopIteration:
+            self.state.epoch += 1
+            self._set_epoch()
+            self._iterator = iter(self.dataloader)
+            return next(self._iterator)
+
+    def _set_epoch(self) -> None:
+        sampler = getattr(self.dataloader, "batch_sampler", None)
+        if sampler is not None and hasattr(sampler, "set_epoch"):
+            sampler.set_epoch(self.state.epoch)
+
+    def update(self) -> None:
+        tic = time.time()
+        batch = self.read_batch()
+        self.last_reader_cost = time.time() - tic
+        self.update_core(batch)
+        self.state.iteration += 1
+
+    def update_core(self, batch) -> None:
+        self.train_state, metrics = self.step_fn(self.train_state, batch)
+        self.last_metrics = metrics
+        for name, value in metrics.items():
+            report(self.reports_prefix + name, value)
+
+    # -- persistence --------------------------------------------------------
+    def state_dict(self):
+        return super().state_dict()
+
+    def save(self, path) -> None:
+        save_pytree(path, jax.device_get(self.train_state),
+                    metadata=self.state_dict())
+
+    def load(self, path) -> None:
+        tree, meta = load_pytree(path, template=self.train_state)
+        self.train_state = jax.device_put(tree)
+        self.set_state_dict(meta)
+
+
+def to_device_batch(batch: Dict[str, np.ndarray]):
+    """Utility: move a numpy batch dict onto the default device(s)."""
+    return jax.tree_util.tree_map(jax.numpy.asarray, batch)
