@@ -1,0 +1,157 @@
+"""ARPABET phone inventories + a self-contained English G2P.
+
+Equivalent of the reference ARPABET frontends (reference:
+parakeet/frontend/arpabet.py:26-302), which wrap ``g2p_en``.  This image
+has no ``g2p_en`` / CMUdict data, so G2P is pluggable:
+
+1. ``g2p_en`` if importable (same behavior as the reference),
+2. a user-supplied CMU-format pronouncing dictionary file,
+3. a compact built-in letter-to-sound rule fallback (always available —
+   lower accuracy, but keeps the full text->speech path self-contained).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional
+
+__all__ = ["ARPABET_PHONES", "ARPABET_STRESS_PHONES", "G2PBackend",
+           "RuleG2P", "LexiconG2P", "get_g2p"]
+
+# The 39-phoneme ARPABET inventory (public standard; reference
+# arpabet.py:26 lists the same set).
+ARPABET_PHONES = [
+    "AA", "AE", "AH", "AO", "AW", "AY", "B", "CH", "D", "DH", "EH", "ER",
+    "EY", "F", "G", "HH", "IH", "IY", "JH", "K", "L", "M", "N", "NG",
+    "OW", "OY", "P", "R", "S", "SH", "T", "TH", "UH", "UW", "V", "W",
+    "Y", "Z", "ZH",
+]
+
+_VOWELS = {"AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY", "IH",
+           "IY", "OW", "OY", "UH", "UW"}
+
+# vowels x 3 stress levels + consonants (reference ARPABETWithStress)
+ARPABET_STRESS_PHONES = sorted(
+    [p + s for p in _VOWELS for s in ("0", "1", "2")]
+    + [p for p in ARPABET_PHONES if p not in _VOWELS])
+
+
+class G2PBackend:
+    """text word (lowercase, alphabetic) -> list of ARPABET phones."""
+
+    def __call__(self, word: str) -> List[str]:
+        raise NotImplementedError
+
+
+class LexiconG2P(G2PBackend):
+    """CMU-format dictionary file: ``WORD  PH1 PH2 ...`` per line."""
+
+    def __init__(self, path: str, strip_stress: bool = True,
+                 fallback: Optional[G2PBackend] = None):
+        self.strip_stress = strip_stress
+        self.fallback = fallback or RuleG2P()
+        self.table: Dict[str, List[str]] = {}
+        with open(path, encoding="utf-8", errors="ignore") as f:
+            for line in f:
+                if line.startswith(";;;") or not line.strip():
+                    continue
+                parts = line.split()
+                word = parts[0].lower()
+                word = re.sub(r"\(\d+\)$", "", word)
+                if word in self.table:
+                    continue
+                phones = parts[1:]
+                if strip_stress:
+                    phones = [re.sub(r"\d", "", p) for p in phones]
+                self.table[word] = phones
+
+    def __call__(self, word: str) -> List[str]:
+        w = word.lower()
+        if w in self.table:
+            return list(self.table[w])
+        return self.fallback(word)
+
+
+# Compact letter-to-sound rules: ordered (pattern, phones) pairs matched
+# greedily left-to-right.  Not CMUdict-accurate — a deterministic,
+# dependency-free fallback.
+_LTS_RULES = [
+    # multi-letter graphemes first
+    ("tion", ["SH", "AH", "N"]), ("sion", ["ZH", "AH", "N"]),
+    ("ought", ["AO", "T"]), ("aught", ["AO", "T"]),
+    ("igh", ["AY"]), ("eigh", ["EY"]),
+    ("tch", ["CH"]), ("dge", ["JH"]),
+    ("sch", ["S", "K"]), ("chr", ["K", "R"]),
+    ("wh", ["W"]), ("wr", ["R"]), ("kn", ["N"]), ("gn", ["N"]),
+    ("ph", ["F"]), ("gh", ["G"]), ("ck", ["K"]), ("sh", ["SH"]),
+    ("ch", ["CH"]), ("th", ["TH"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
+    ("oo", ["UW"]), ("ee", ["IY"]), ("ea", ["IY"]), ("ai", ["EY"]),
+    ("ay", ["EY"]), ("oa", ["OW"]), ("ow", ["OW"]), ("ou", ["AW"]),
+    ("oi", ["OY"]), ("oy", ["OY"]), ("au", ["AO"]), ("aw", ["AO"]),
+    ("ew", ["UW"]), ("ie", ["IY"]), ("ei", ["EY"]), ("ey", ["IY"]),
+    ("ar", ["AA", "R"]), ("er", ["ER"]), ("ir", ["ER"]), ("ur", ["ER"]),
+    ("or", ["AO", "R"]),
+    ("a", ["AE"]), ("b", ["B"]), ("c", ["K"]), ("d", ["D"]),
+    ("e", ["EH"]), ("f", ["F"]), ("g", ["G"]), ("h", ["HH"]),
+    ("i", ["IH"]), ("j", ["JH"]), ("k", ["K"]), ("l", ["L"]),
+    ("m", ["M"]), ("n", ["N"]), ("o", ["AA"]), ("p", ["P"]),
+    ("q", ["K"]), ("r", ["R"]), ("s", ["S"]), ("t", ["T"]),
+    ("u", ["AH"]), ("v", ["V"]), ("w", ["W"]), ("x", ["K", "S"]),
+    ("y", ["Y"]), ("z", ["Z"]),
+]
+
+
+class RuleG2P(G2PBackend):
+    """Greedy longest-match letter-to-sound rules."""
+
+    def __call__(self, word: str) -> List[str]:
+        w = word.lower()
+        # final silent 'e' (not the only vowel)
+        if (len(w) > 2 and w.endswith("e") and not w.endswith("ee")
+                and any(ch in "aeiou" for ch in w[:-1])):
+            w = w[:-1]
+        # doubled consonants sound once (ll, ss, tt, ...)
+        w = re.sub(r"([bcdfghjklmnpqrstvz])\1", r"\1", w)
+        phones: List[str] = []
+        i = 0
+        while i < len(w):
+            for pat, ph in _LTS_RULES:
+                if w.startswith(pat, i):
+                    # 'c' before e/i/y -> S; 'g' before e/i/y -> JH
+                    if pat == "c" and i + 1 < len(w) and w[i + 1] in "eiy":
+                        phones.append("S")
+                    elif pat == "g" and i + 1 < len(w) and w[i + 1] in "eiy":
+                        phones.append("JH")
+                    # word-final 's' after a voiced sound -> Z
+                    elif (pat == "s" and i == len(w) - 1 and phones
+                          and phones[-1] in _VOWELS | {"B", "D", "G", "V",
+                                                       "Z", "M", "N", "NG",
+                                                       "L", "R", "W", "Y"}):
+                        phones.append("Z")
+                    else:
+                        phones.extend(ph)
+                    i += len(pat)
+                    break
+            else:
+                i += 1  # skip unknown character
+        return phones
+
+
+class _G2pEnBackend(G2PBackend):
+    def __init__(self):
+        from g2p_en import G2p  # noqa: F401  (optional dependency)
+        self._g2p = G2p()
+
+    def __call__(self, word: str) -> List[str]:
+        return [re.sub(r"\d", "", p) for p in self._g2p(word)
+                if re.match(r"[A-Z]", p)]
+
+
+def get_g2p(lexicon_path: Optional[str] = None) -> G2PBackend:
+    """Pick the best available backend (see module docstring)."""
+    if lexicon_path and os.path.exists(lexicon_path):
+        return LexiconG2P(lexicon_path)
+    try:
+        return _G2pEnBackend()
+    except Exception:
+        return RuleG2P()

@@ -1,0 +1,19 @@
+"""Chinese measure-expression verbalization (reference:
+parakeet/frontend/zh_normalization/quantifier.py)."""
+from __future__ import annotations
+
+import re
+
+from .num import num2str
+
+__all__ = ["RE_TEMPERATURE", "replace_temperature"]
+
+RE_TEMPERATURE = re.compile(r"(-?)(\d+(\.\d+)?)(°C|℃|度|摄氏度)")
+
+
+def replace_temperature(match) -> str:
+    sign = match.group(1)
+    value = match.group(2)
+    unit = match.group(4)
+    unit_word = "摄氏度" if unit in ("°C", "℃", "摄氏度") else "度"
+    return ("零下" if sign else "") + num2str(value) + unit_word

@@ -6,6 +6,23 @@ from .parallel_wavegan import (PWGDiscriminator, PWGGenerator,
                                ResidualPWGDiscriminator, pwg_inference)
 from .pwg_updater import (init_pwg_train_state, make_pwg_eval_step,
                           make_pwg_train_step)
+from .ge2e_updater import init_ge2e_train_state, make_ge2e_train_step
+from .lstm_speaker_encoder import (LSTMSpeakerEncoder, compute_eer,
+                                   ge2e_loss, scale_wb_gradients,
+                                   similarity_matrix)
+from .speedyspeech import SpeedySpeech, speedyspeech_loss
+from .tacotron2 import Tacotron2, tacotron2_loss
+from .tacotron2_updater import (init_tacotron2_train_state,
+                                make_tacotron2_eval_step,
+                                make_tacotron2_train_step)
+from .transformer_tts import (TransformerTTS,
+                              guided_multihead_attention_loss,
+                              transformer_tts_loss)
+from .waveflow import (ConditionalWaveFlow, UpsampleNet, WaveFlow, fold,
+                       unfold, waveflow_loss)
+from .waveflow_updater import (init_waveflow_train_state,
+                               make_waveflow_eval_step,
+                               make_waveflow_train_step)
 
 __all__ = [
     "FastSpeech2", "fastspeech2_loss",
@@ -13,4 +30,16 @@ __all__ = [
     "PWGGenerator", "PWGDiscriminator", "ResidualPWGDiscriminator",
     "pwg_inference",
     "make_pwg_train_step", "make_pwg_eval_step", "init_pwg_train_state",
+    "Tacotron2", "tacotron2_loss",
+    "init_tacotron2_train_state", "make_tacotron2_train_step",
+    "make_tacotron2_eval_step",
+    "TransformerTTS", "transformer_tts_loss",
+    "guided_multihead_attention_loss",
+    "SpeedySpeech", "speedyspeech_loss",
+    "ConditionalWaveFlow", "UpsampleNet", "WaveFlow", "fold", "unfold",
+    "waveflow_loss", "init_waveflow_train_state",
+    "make_waveflow_train_step", "make_waveflow_eval_step",
+    "LSTMSpeakerEncoder", "ge2e_loss", "similarity_matrix",
+    "scale_wb_gradients", "compute_eer",
+    "init_ge2e_train_state", "make_ge2e_train_step",
 ]

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.positional import sinusoid_position_encoding
@@ -78,10 +79,23 @@ class MultiHeadAttention(nn.Module):
         q = dense("q")(query)                       # (B, Tq, H, dk)
         k = dense("k")(key)
         v = dense("v")(value)
+        new_cache = None
         if cache is not None:
-            # decode step: append to carried cache (see TransformerDecoder)
-            k = jnp.concatenate([cache["k"], k], axis=1)
-            v = jnp.concatenate([cache["v"], v], axis=1)
+            if "index" in cache:
+                # scan-friendly decode: fixed-size preallocated cache
+                # (B, T_max, H, dk) written in place at ``index`` — static
+                # shapes, so the whole AR loop stays one XLA while-loop.
+                idx = cache["index"]
+                k = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0))
+                new_cache = {"k": k, "v": v, "index": idx + query.shape[1]}
+            else:
+                # python-loop decode: append (dynamic shapes, host loop)
+                k = jnp.concatenate([cache["k"], k], axis=1)
+                v = jnp.concatenate([cache["v"], v], axis=1)
+                new_cache = {"k": k, "v": v}
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
@@ -98,7 +112,6 @@ class MultiHeadAttention(nn.Module):
             self.dtype)
         out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype,
                               name="out")(out)
-        new_cache = {"k": k, "v": v} if cache is not None else None
         return out, attn, new_cache
 
 

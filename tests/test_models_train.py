@@ -107,7 +107,9 @@ def test_pwg_gan_step_warmup_gating():
                                lambda_adv=4.0,
                                discriminator_train_start_steps=2)
     batch = {"wav": wav, "mel": mel}
-    d0 = state.params["discriminator"]
+    # Snapshot to host: the jitted step donates `state`, which deletes the
+    # device buffers d0 would otherwise alias.
+    d0 = jax.device_get(state.params["discriminator"])
 
     # steps 0, 1: warm-up — disc untouched, adversarial loss zero
     state, m = step(state, batch)
