@@ -11,6 +11,9 @@ from .lstm_speaker_encoder import (LSTMSpeakerEncoder, compute_eer,
                                    ge2e_loss, scale_wb_gradients,
                                    similarity_matrix)
 from .speedyspeech import SpeedySpeech, speedyspeech_loss
+from .speedyspeech_updater import (init_speedyspeech_train_state,
+                                   make_speedyspeech_eval_step,
+                                   make_speedyspeech_train_step)
 from .tacotron2 import Tacotron2, tacotron2_loss
 from .tacotron2_updater import (init_tacotron2_train_state,
                                 make_tacotron2_eval_step,
@@ -18,6 +21,9 @@ from .tacotron2_updater import (init_tacotron2_train_state,
 from .transformer_tts import (TransformerTTS,
                               guided_multihead_attention_loss,
                               transformer_tts_loss)
+from .transformer_tts_updater import (init_transformer_tts_train_state,
+                                      make_transformer_tts_eval_step,
+                                      make_transformer_tts_train_step)
 from .waveflow import (ConditionalWaveFlow, UpsampleNet, WaveFlow, fold,
                        unfold, waveflow_loss)
 from .waveflow_updater import (init_waveflow_train_state,
@@ -36,6 +42,10 @@ __all__ = [
     "TransformerTTS", "transformer_tts_loss",
     "guided_multihead_attention_loss",
     "SpeedySpeech", "speedyspeech_loss",
+    "init_speedyspeech_train_state", "make_speedyspeech_train_step",
+    "make_speedyspeech_eval_step",
+    "init_transformer_tts_train_state", "make_transformer_tts_train_step",
+    "make_transformer_tts_eval_step",
     "ConditionalWaveFlow", "UpsampleNet", "WaveFlow", "fold", "unfold",
     "waveflow_loss", "init_waveflow_train_state",
     "make_waveflow_train_step", "make_waveflow_eval_step",

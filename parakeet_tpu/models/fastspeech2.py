@@ -259,9 +259,13 @@ class FastSpeech2(nn.Module):
     def inference(self, text, text_lengths, *, max_frames: int,
                   durations=None, pitch=None, energy=None,
                   alpha: float = 1.0, spk_id=None, spk_emb=None,
-                  tone_id=None, deterministic: bool = True):
+                  tone_id=None, min_duration: int = 0,
+                  deterministic: bool = True):
         """Free-running synthesis to a static ``max_frames`` capacity.
 
+        ``min_duration`` > 0 floors each valid token's predicted duration
+        (robustness for under-trained checkpoints; the reference allows
+        zero-length tokens, fastspeech2.py:468-500).
         Returns dict: after_outs (B, max_frames, odim), frame_lengths (B,),
         d_outs (B, Tmax) predicted integer durations.
         """
@@ -279,6 +283,9 @@ class FastSpeech2(nn.Module):
         else:
             d_outs = self.duration_predictor(
                 hs, pad_mask, inference=True, deterministic=deterministic)
+        if min_duration > 0:
+            d_outs = jnp.where(pad_mask, d_outs,
+                               jnp.maximum(d_outs, min_duration))
 
         hs = hs + self.pitch_embed(p_outs, deterministic=deterministic) \
                 + self.energy_embed(e_outs, deterministic=deterministic)

@@ -49,6 +49,23 @@ def _key_str(entry) -> str:
     return str(entry)
 
 
+def nest_flat(flat: Dict[str, np.ndarray]) -> Dict[str, any]:
+    """Flat {a::b::c: arr} -> nested dicts (no template needed).
+
+    Non-dict pytree nodes (TrainState fields, tuples) come back as plain
+    dicts keyed by field name / index — good enough for loading params for
+    inference without reconstructing the exact TrainState type.
+    """
+    nested: Dict[str, any] = {}
+    for key, value in flat.items():
+        node = nested
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return nested
+
+
 def unflatten_tree(template, flat: Dict[str, np.ndarray]):
     """Rebuild a pytree shaped like ``template`` from flattened arrays."""
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)

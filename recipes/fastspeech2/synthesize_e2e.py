@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""End-to-end synthesis: text -> frontend -> FastSpeech2 -> PWGAN -> wav.
+
+Equivalent of the reference e2e script (reference:
+examples/fastspeech2/baker/synthesize_e2e.py:32-90), TPU-native: both the
+acoustic model inference and the vocoder run as jit-compiled XLA programs
+with bucketed static shapes.
+
+Usage:
+  python synthesize_e2e.py --fastspeech2-config conf/default.yaml \
+      --fastspeech2-checkpoint exp/default/checkpoints/snapshot_iter_N.npz \
+      --pwg-config ../pwgan/conf/default.yaml \
+      --pwg-checkpoint ../pwgan/exp/checkpoints/snapshot_iter_M.npz \
+      --phones-dict dump/phone_id_map.txt --text sentences.txt \
+      --output-dir wavs/ [--lang zh|en]
+"""
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parakeet_tpu.audio.codec import save_wav
+from parakeet_tpu.data.preprocess import load_id_map
+from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
+from parakeet_tpu.ops.normalizer import ZScore
+from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.config import Config
+
+
+def build_frontend(lang, phones_dict):
+    if lang == "zh":
+        from parakeet_tpu.frontend import Frontend
+        fe = Frontend(phone_vocab_path=str(phones_dict), strict=False)
+
+        def get_ids(sentence):
+            out = fe.get_input_ids(sentence)
+            return out["phone_ids"][0] if out.get("phone_ids") else []
+        return get_ids
+    else:
+        from parakeet_tpu.frontend import English
+        phone_map = load_id_map(phones_dict)
+        en = English()
+
+        def get_ids(sentence):
+            return [phone_map[p] for p in en.phoneticize(sentence)
+                    if p in phone_map]
+        return get_ids
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--fastspeech2-config", type=Path, required=True)
+    parser.add_argument("--fastspeech2-checkpoint", type=Path, required=True)
+    parser.add_argument("--fastspeech2-stat", type=Path, default=None,
+                        help="speech_stats.npy (mean/std) for denorm")
+    parser.add_argument("--pwg-config", type=Path, required=True)
+    parser.add_argument("--pwg-checkpoint", type=Path, required=True)
+    parser.add_argument("--pwg-stat", type=Path, default=None)
+    parser.add_argument("--phones-dict", type=Path, required=True)
+    parser.add_argument("--text", type=Path, required=True,
+                        help="lines: <utt_id> <sentence>")
+    parser.add_argument("--output-dir", type=Path, default=Path("wavs"))
+    parser.add_argument("--lang", default="zh", choices=("zh", "en"))
+    parser.add_argument("--max-text-len", type=int, default=128)
+    parser.add_argument("--max-frames", type=int, default=1024)
+    args = parser.parse_args()
+
+    am_cfg = Config.from_yaml(args.fastspeech2_config)
+    voc_cfg = Config.from_yaml(args.pwg_config)
+    idim = sum(1 for _ in open(args.phones_dict))
+
+    am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
+                     **am_cfg.get("model", {}))
+    am_flat, _ = load_pytree(args.fastspeech2_checkpoint)
+    am_tree = nest_flat(am_flat)
+    am_params = am_tree.get("params", am_tree)
+    voc = PWGGenerator(**voc_cfg.get("generator_params", {}))
+    voc_flat, _ = load_pytree(args.pwg_checkpoint)
+    voc_tree = nest_flat(voc_flat)
+    voc_params = voc_tree.get("params", voc_tree)
+    if isinstance(voc_params, dict) and "generator" in voc_params:
+        voc_params = voc_params["generator"]
+
+    am_norm = (ZScore(*np.load(args.fastspeech2_stat))
+               if args.fastspeech2_stat else None)
+    voc_norm = (ZScore(*np.load(args.pwg_stat)) if args.pwg_stat else None)
+
+    get_ids = build_frontend(args.lang, args.phones_dict)
+
+    am_vars = {"params": am_params}
+    if "batch_stats" in am_tree:           # Postnet BatchNorm statistics
+        am_vars["batch_stats"] = am_tree["batch_stats"]
+
+    @jax.jit
+    def am_infer(variables, text, text_lengths):
+        out = am.apply(variables, text, text_lengths,
+                       max_frames=args.max_frames, min_duration=1,
+                       method=FastSpeech2.inference)
+        return out["after_outs"], out["frame_lengths"]
+
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    for line in open(args.text):
+        parts = line.strip().split(maxsplit=1)
+        if len(parts) != 2:
+            continue
+        utt_id, sentence = parts
+        ids = get_ids(sentence)[:args.max_text_len]
+        if not ids:
+            print(f"skip {utt_id}: empty phone sequence")
+            continue
+        text = jnp.zeros((1, args.max_text_len), jnp.int64).at[
+            0, :len(ids)].set(jnp.asarray(ids))
+        lengths = jnp.asarray([len(ids)], jnp.int64)
+        mel, frames = am_infer(am_vars, text, lengths)
+        n = int(frames[0])
+        if n == 0:
+            print(f"skip: model predicted 0 frames")
+            continue
+        mel = np.asarray(mel)[0, :n]
+        if am_norm is not None:
+            mel = np.asarray(am_norm.inverse(mel))
+        voc_in = mel
+        if voc_norm is not None:
+            voc_in = np.asarray(voc_norm.transform(voc_in))
+        wav = pwg_inference(voc, {"params": voc_params},
+                            jnp.asarray(voc_in),
+                            rng=jax.random.PRNGKey(abs(hash(utt_id))
+                                                   % (2 ** 31)))
+        wav = np.asarray(wav).reshape(-1)
+        out_path = args.output_dir / f"{utt_id}.wav"
+        save_wav(out_path, wav, am_cfg.fs)
+        print(f"{utt_id}: {len(wav) / am_cfg.fs:.2f}s -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""SpeedySpeech training CLI (reference: examples/speedyspeech/baker/
+train.py).  Expects normalized metadata with phones/tones/durations/feats.
+"""
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from parakeet_tpu.data.collate import speedyspeech_batch_fn
+from parakeet_tpu.data.dataloader import BatchSampler, DataLoader
+from parakeet_tpu.data.datatable import DataTable
+from parakeet_tpu.models.speedyspeech import SpeedySpeech
+from parakeet_tpu.models.speedyspeech_updater import (
+    init_speedyspeech_train_state, make_speedyspeech_eval_step,
+    make_speedyspeech_train_step)
+from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
+from parakeet_tpu.training.extensions.snapshot import Snapshot
+from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
+from parakeet_tpu.training.optimizer import build_optimizer
+from parakeet_tpu.training.seeding import seed_everything
+from parakeet_tpu.training.trainer import Trainer
+from parakeet_tpu.training.updater import StandardUpdater
+
+
+def build_dataloader(metadata, cfg, shuffle):
+    table = DataTable.from_jsonl(metadata, converters={"feats": np.load})
+    sampler = BatchSampler(len(table), cfg.batch_size, shuffle=shuffle,
+                           drop_last=shuffle)
+    return DataLoader(table, sampler, speedyspeech_batch_fn)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--train-metadata", type=Path, required=True)
+    parser.add_argument("--dev-metadata", type=Path, required=True)
+    parser.add_argument("--output-dir", type=Path, default=Path("exp"))
+    parser.add_argument("--phones-dict", type=Path, required=True)
+    parser.add_argument("--tones-dict", type=Path, default=None)
+    parser.add_argument("--opts", nargs="*", default=[])
+    args = parser.parse_args()
+
+    cfg = Config.from_yaml(args.config).merge_opts(args.opts)
+    seed_everything(cfg.get("seed", 0))
+
+    train_dl = build_dataloader(args.train_metadata, cfg, True)
+    dev_dl = build_dataloader(args.dev_metadata, cfg, False)
+    sample = next(iter(train_dl))
+
+    vocab_size = sum(1 for _ in open(args.phones_dict))
+    tone_size = (sum(1 for _ in open(args.tones_dict))
+                 if args.tones_dict else None)
+    model = SpeedySpeech(vocab_size=vocab_size, tone_size=tone_size,
+                         **cfg.get("model", {}))
+    opt_cfg = cfg.get("optimizer", {})
+    tx = build_optimizer(opt_cfg.get("optim", "adam"),
+                         opt_cfg.get("learning_rate", 2e-3))
+    state = init_speedyspeech_train_state(
+        model, tx, jax.random.PRNGKey(cfg.get("seed", 0)), sample)
+    train_step = make_speedyspeech_train_step(model, tx)
+    eval_step = make_speedyspeech_eval_step(model)
+
+    updater = StandardUpdater(train_step, state, train_dl)
+    trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
+                      out=args.output_dir)
+    trainer.extend(StandardEvaluator(eval_step, dev_dl),
+                   trigger=(1, "epoch"))
+    trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
+                   trigger=(1, "iteration"))
+    trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
+                   trigger=(1, "epoch"), priority=-100)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

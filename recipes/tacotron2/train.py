@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Tacotron2 training CLI (reference: examples/tacotron2/train.py).
+
+Metadata rows need: text (ids), speech (.npy path) — use the fastspeech2
+preprocess/normalize stages (durations are simply unused) or a character
+frontend for LJSpeech.
+"""
+import argparse
+import functools
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from parakeet_tpu.data.batch import batch_sequences, bucket_length
+from parakeet_tpu.data.dataloader import BatchSampler, DataLoader
+from parakeet_tpu.data.datatable import DataTable
+from parakeet_tpu.models import (Tacotron2, init_tacotron2_train_state,
+                                 make_tacotron2_eval_step,
+                                 make_tacotron2_train_step)
+from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
+from parakeet_tpu.training.extensions.snapshot import Snapshot
+from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
+from parakeet_tpu.training.optimizer import build_optimizer
+from parakeet_tpu.training.seeding import seed_everything
+from parakeet_tpu.training.trainer import Trainer
+from parakeet_tpu.training.updater import StandardUpdater
+
+
+def tacotron2_batch_fn(examples, text_bucket=16, frame_bucket=64):
+    text_len = bucket_length(
+        max(len(np.asarray(x["text"])) for x in examples), text_bucket)
+    frame_len = bucket_length(
+        max(np.asarray(x["speech"]).shape[0] for x in examples),
+        frame_bucket)
+    return {
+        "text": batch_sequences(
+            [np.asarray(x["text"], np.int64) for x in examples],
+            length=text_len),
+        "text_lengths": np.array(
+            [len(np.asarray(x["text"])) for x in examples], np.int64),
+        "speech": batch_sequences(
+            [np.asarray(x["speech"], np.float32) for x in examples],
+            length=frame_len),
+        "speech_lengths": np.array(
+            [np.asarray(x["speech"]).shape[0] for x in examples],
+            np.int64),
+        **({"spk_emb": np.stack([np.asarray(x["spk_emb"], np.float32)
+                                 for x in examples])}
+           if "spk_emb" in examples[0] else {}),
+    }
+
+
+def build_dataloader(metadata, cfg, shuffle):
+    converters = {"speech": np.load}
+    table = DataTable.from_jsonl(metadata, converters=converters)
+    sampler = BatchSampler(len(table), cfg.batch_size, shuffle=shuffle,
+                           drop_last=shuffle)
+    return DataLoader(table, sampler, tacotron2_batch_fn)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--train-metadata", type=Path, required=True)
+    parser.add_argument("--dev-metadata", type=Path, required=True)
+    parser.add_argument("--output-dir", type=Path, default=Path("exp"))
+    parser.add_argument("--phones-dict", type=Path, required=True)
+    parser.add_argument("--opts", nargs="*", default=[])
+    args = parser.parse_args()
+
+    cfg = Config.from_yaml(args.config).merge_opts(args.opts)
+    seed_everything(cfg.get("seed", 0))
+
+    train_dl = build_dataloader(args.train_metadata, cfg, True)
+    dev_dl = build_dataloader(args.dev_metadata, cfg, False)
+    sample = next(iter(train_dl))
+
+    vocab_size = sum(1 for _ in open(args.phones_dict))
+    model = Tacotron2(vocab_size=vocab_size, **cfg.get("model", {}))
+    opt_cfg = cfg.get("optimizer", {})
+    tx = build_optimizer(opt_cfg.get("optim", "adam"),
+                         opt_cfg.get("learning_rate", 1e-3))
+    state = init_tacotron2_train_state(
+        model, tx, jax.random.PRNGKey(cfg.get("seed", 0)), sample)
+    upd = cfg.get("updater", {})
+    train_step = make_tacotron2_train_step(model, tx, **upd)
+    eval_step = make_tacotron2_eval_step(model, **upd)
+
+    updater = StandardUpdater(train_step, state, train_dl)
+    trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
+                      out=args.output_dir)
+    trainer.extend(StandardEvaluator(eval_step, dev_dl),
+                   trigger=(1, "epoch"))
+    trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
+                   trigger=(1, "iteration"))
+    trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
+                   trigger=(1, "epoch"), priority=-100)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""TransformerTTS training CLI (reference:
+examples/transformer_tts/train.py)."""
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from parakeet_tpu.data.collate import transformer_tts_batch_fn
+from parakeet_tpu.data.dataloader import BatchSampler, DataLoader
+from parakeet_tpu.data.datatable import DataTable
+from parakeet_tpu.models import TransformerTTS
+from parakeet_tpu.models.transformer_tts_updater import (
+    init_transformer_tts_train_state, make_transformer_tts_eval_step,
+    make_transformer_tts_train_step)
+from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
+from parakeet_tpu.training.extensions.snapshot import Snapshot
+from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
+from parakeet_tpu.training.optimizer import build_optimizer
+from parakeet_tpu.training.seeding import seed_everything
+from parakeet_tpu.training.trainer import Trainer
+from parakeet_tpu.training.updater import StandardUpdater
+
+
+def build_dataloader(metadata, cfg, shuffle):
+    table = DataTable.from_jsonl(metadata, converters={"speech": np.load})
+    sampler = BatchSampler(len(table), cfg.batch_size, shuffle=shuffle,
+                           drop_last=shuffle)
+    return DataLoader(table, sampler, transformer_tts_batch_fn)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--train-metadata", type=Path, required=True)
+    parser.add_argument("--dev-metadata", type=Path, required=True)
+    parser.add_argument("--output-dir", type=Path, default=Path("exp"))
+    parser.add_argument("--phones-dict", type=Path, required=True)
+    parser.add_argument("--opts", nargs="*", default=[])
+    args = parser.parse_args()
+
+    cfg = Config.from_yaml(args.config).merge_opts(args.opts)
+    seed_everything(cfg.get("seed", 0))
+
+    train_dl = build_dataloader(args.train_metadata, cfg, True)
+    dev_dl = build_dataloader(args.dev_metadata, cfg, False)
+    sample = next(iter(train_dl))
+
+    idim = sum(1 for _ in open(args.phones_dict))
+    odim = sample["speech"].shape[-1]
+    model = TransformerTTS(idim=idim, odim=odim, **cfg.get("model", {}))
+    opt_cfg = cfg.get("optimizer", {})
+    tx = build_optimizer(opt_cfg.get("optim", "adam"),
+                         opt_cfg.get("learning_rate", 1e-3))
+    state = init_transformer_tts_train_state(
+        model, tx, jax.random.PRNGKey(cfg.get("seed", 0)), sample)
+    upd = cfg.get("updater", {})
+    train_step = make_transformer_tts_train_step(model, tx, **upd)
+    eval_step = make_transformer_tts_eval_step(model, **upd)
+
+    updater = StandardUpdater(train_step, state, train_dl)
+    trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
+                      out=args.output_dir)
+    trainer.extend(StandardEvaluator(eval_step, dev_dl),
+                   trigger=(1, "epoch"))
+    trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
+                   trigger=(1, "iteration"))
+    trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
+                   trigger=(1, "epoch"), priority=-100)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Chain (integration) test: preprocess -> normalize -> train -> e2e synth.
+
+TPU analog of the reference's shell-driven chain tests (reference:
+tests/chain/test.sh, SURVEY.md §4.5): run the real recipe CLIs on a tiny
+synthetic corpus for a few iterations, then synthesize a wav from text
+through the produced snapshots.
+"""
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+RECIPES = REPO / "recipes"
+
+
+def _run(script, *args):
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [sys.executable, str(script)] + [str(a) for a in args]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                          cwd=str(REPO), env=env)
+    if proc.returncode != 0:
+        raise AssertionError(
+            f"{script.name} failed\nSTDOUT:\n{proc.stdout[-3000:]}\n"
+            f"STDERR:\n{proc.stderr[-3000:]}")
+    return proc
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic mini corpus: sine-ish wavs + duration file + config."""
+    root = tmp_path_factory.mktemp("chain")
+    wavs = root / "wavs"
+    wavs.mkdir()
+    rng = np.random.default_rng(0)
+    sr, hop = 24000, 300
+    phones = ["sil", "b", "a1", "sp", "m", "i2", "sil"]
+    lines = []
+    from parakeet_tpu.audio.codec import save_wav
+    for i in range(6):
+        n_frames = 40 + 8 * i
+        t = np.arange(n_frames * hop) / sr
+        f0 = 120 + 20 * i
+        wav = (0.3 * np.sin(2 * np.pi * f0 * t)
+               + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+        utt = f"utt{i:03d}"
+        save_wav(wavs / f"{utt}.wav", wav, sr)
+        durs = np.full(len(phones), n_frames // len(phones), np.int64)
+        durs[-1] += n_frames - durs.sum()
+        pd = " ".join(f"{p} {d}" for p, d in zip(phones, durs))
+        lines.append(f"{utt}|spk0|{pd}")
+    (root / "durations.txt").write_text("\n".join(lines) + "\n")
+
+    config = root / "tiny.yaml"
+    config.write_text("""\
+fs: 24000
+n_fft: 512
+n_shift: 300
+win_length: 512
+fmin: 80
+fmax: 7600
+n_mels: 20
+f0min: 80
+f0max: 400
+model:
+  adim: 16
+  aheads: 2
+  elayers: 1
+  eunits: 32
+  dlayers: 1
+  dunits: 32
+  postnet_layers: 2
+  postnet_chans: 8
+  postnet_filts: 3
+  duration_predictor_chans: 16
+  pitch_predictor_chans: 16
+  energy_predictor_chans: 16
+updater:
+  use_masking: true
+optimizer:
+  optim: adam
+  learning_rate: 0.001
+batch_size: 2
+max_epoch: 1
+num_snapshots: 2
+seed: 1
+""")
+    return root
+
+
+def test_chain_fastspeech2(corpus):
+    root = corpus
+    dump = root / "dump"
+    _run(RECIPES / "fastspeech2" / "preprocess.py",
+         "--rootdir", root / "wavs", "--duration-file",
+         root / "durations.txt", "--dumpdir", dump,
+         "--config", root / "tiny.yaml",
+         "--dev-size", 2, "--test-size", 0)
+    assert (dump / "metadata_train.jsonl").exists()
+    assert (dump / "phone_id_map.txt").exists()
+
+    norm_train = root / "norm" / "train"
+    norm_dev = root / "norm" / "dev"
+    _run(RECIPES / "fastspeech2" / "normalize.py",
+         "--metadata", dump / "metadata_train.jsonl",
+         "--dumpdir", norm_train, "--phones-dict",
+         dump / "phone_id_map.txt", "--stats-dir", dump,
+         "--compute-stats")
+    _run(RECIPES / "fastspeech2" / "normalize.py",
+         "--metadata", dump / "metadata_dev.jsonl",
+         "--dumpdir", norm_dev, "--phones-dict",
+         dump / "phone_id_map.txt", "--stats-dir", dump)
+    assert (dump / "speech_stats.npy").exists()
+
+    exp = root / "exp"
+    _run(RECIPES / "fastspeech2" / "train.py",
+         "--config", root / "tiny.yaml",
+         "--train-metadata", norm_train / "metadata.jsonl",
+         "--dev-metadata", norm_dev / "metadata.jsonl",
+         "--output-dir", exp,
+         "--phones-dict", dump / "phone_id_map.txt")
+    snapshots = list((exp / "checkpoints").glob("*.npz"))
+    assert snapshots, "no snapshot written"
+
+
+def test_chain_pwgan_and_e2e(corpus):
+    root = corpus
+    voc_cfg = root / "pwg_tiny.yaml"
+    voc_cfg.write_text("""\
+fs: 24000
+n_fft: 512
+n_shift: 300
+win_length: 512
+fmin: 80
+fmax: 7600
+n_mels: 20
+generator_params:
+  layers: 2
+  stacks: 1
+  residual_channels: 4
+  gate_channels: 8
+  skip_channels: 4
+  aux_context_window: 1
+  upsample_scales: [4, 5, 3, 5]
+discriminator_params:
+  layers: 3
+  conv_channels: 4
+updater:
+  lambda_adv: 4.0
+  discriminator_train_start_steps: 1
+stft_loss_params:
+  fft_sizes: [256]
+  hop_sizes: [64]
+  win_lengths: [128]
+batch_size: 2
+batch_max_steps: 6000
+generator_optimizer:
+  optim: adam
+  learning_rate: 0.0001
+discriminator_optimizer:
+  optim: adam
+  learning_rate: 0.00005
+train_max_steps: 3
+eval_interval_steps: 2
+save_interval_steps: 2
+num_snapshots: 1
+seed: 1
+""")
+    dump = root / "pwg_dump"
+    _run(RECIPES / "pwgan" / "preprocess.py",
+         "--rootdir", root / "wavs", "--dumpdir", dump,
+         "--config", voc_cfg, "--dev-size", 2)
+    exp = root / "pwg_exp"
+    _run(RECIPES / "pwgan" / "train.py",
+         "--config", voc_cfg,
+         "--train-metadata", dump / "metadata_train.jsonl",
+         "--dev-metadata", dump / "metadata_dev.jsonl",
+         "--output-dir", exp,
+         "--opts", "train_max_steps", "3")
+    snapshots = sorted((exp / "checkpoints").glob("*.npz"))
+    assert snapshots, "no vocoder snapshot"
+
+    # ---- e2e: text -> FS2 -> PWG -> wav --------------------------------
+    fs2_snap = sorted((root / "exp" / "checkpoints").glob("*.npz"))[-1]
+    text_file = root / "sentences.txt"
+    text_file.write_text("demo001 你好。\n")
+    outdir = root / "wavs_out"
+    _run(RECIPES / "fastspeech2" / "synthesize_e2e.py",
+         "--fastspeech2-config", root / "tiny.yaml",
+         "--fastspeech2-checkpoint", fs2_snap,
+         "--fastspeech2-stat", root / "dump" / "speech_stats.npy",
+         "--pwg-config", voc_cfg,
+         "--pwg-checkpoint", snapshots[-1],
+         "--phones-dict", root / "dump" / "phone_id_map.txt",
+         "--text", text_file, "--output-dir", outdir,
+         "--lang", "zh", "--max-text-len", 32, "--max-frames", 128)
+    wavs = list(outdir.glob("*.wav"))
+    assert wavs, "no wav synthesized"
+    from parakeet_tpu.audio.codec import load_wav
+    wav, sr = load_wav(wavs[0])
+    assert sr == 24000 and len(wav) > 0
