@@ -36,32 +36,36 @@ def main():
     text = jnp.asarray(rng.integers(1, 80, (1, text_len)).astype(np.int64))
     text_lengths = jnp.asarray(np.array([text_len], np.int64))
     key = jax.random.PRNGKey(0)
-    fs2_vars = fs2.init({"params": key}, text, text_lengths,
-                        max_frames=max_frames, method=FS2.inference)
+    # jit the inits: uncompiled tracing executes op-by-op on the device
+    # (~100 s over the axon tunnel); one compiled program takes seconds
+    fs2_vars = jax.jit(lambda k, t, l: fs2.init(
+        {"params": k}, t, l, max_frames=max_frames,
+        method=FS2.inference))(key, text, text_lengths)
     noise = jnp.zeros((1, max_frames * hop, 1), jnp.float32)
     mel_probe = jnp.zeros((1, max_frames + 4, 80), jnp.float32)
-    pwg_vars = pwg.init(jax.random.PRNGKey(1), noise, mel_probe)
+    pwg_vars = jax.jit(pwg.init)(jax.random.PRNGKey(1), noise, mel_probe)
 
     @jax.jit
-    def synthesize(fs2_params, pwg_params, text, text_lengths, noise):
-        out = fs2.apply({"params": fs2_params}, text, text_lengths,
+    def synthesize(fs2_variables, pwg_params, text, text_lengths, noise):
+        out = fs2.apply(fs2_variables, text, text_lengths,
                         max_frames=max_frames, method=FS2.inference)
         mel = out["after_outs"]
         mel = jnp.pad(mel, ((0, 0), (2, 2), (0, 0)), mode="edge")
         wav = pwg.apply({"params": pwg_params}, noise, mel)
         return wav[..., 0], out["frame_lengths"]
 
-    args = (fs2_vars["params"], pwg_vars["params"], text, text_lengths,
+    args = (fs2_vars, pwg_vars["params"], text, text_lengths,
             jax.random.normal(jax.random.PRNGKey(2), noise.shape))
     # warmup / compile
     wav, frame_lengths = synthesize(*args)
     wav.block_until_ready()
 
+    assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
     iters = 5
     tic = time.perf_counter()
     for _ in range(iters):
         wav, frame_lengths = synthesize(*args)
-    wav.block_until_ready()
+        wav.block_until_ready()          # honest per-iteration sync
     elapsed = (time.perf_counter() - tic) / iters
 
     audio_seconds = wav.shape[-1] / sr

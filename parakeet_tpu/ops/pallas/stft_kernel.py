@@ -65,17 +65,20 @@ def _kernel(cur_ref, nxt_ref, rhi_ref, rlo_ref, ihi_ref, ilo_ref, out_ref,
     chunks_ref[:_FRAME_BLOCK] = cur_ref[0]
     chunks_ref[_FRAME_BLOCK:] = nxt_ref[0]
     c = chunks_ref[:]
-    hi_all = c.astype(jnp.bfloat16)
-    lo_all = (c - hi_all.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     re = jnp.zeros((_FRAME_BLOCK, _FREQ_BLOCK), jnp.float32)
     im = jnp.zeros((_FRAME_BLOCK, _FREQ_BLOCK), jnp.float32)
+    n_rows = 2 * _FRAME_BLOCK
     for j in range(m):
-        hi = pltpu.roll(hi_all, -j, 0)[:_FRAME_BLOCK]
-        lo = pltpu.roll(lo_all, -j, 0)[:_FRAME_BLOCK]
+        # roll(-j) expressed as the positive rotation (n_rows - j) %
+        # n_rows; Mosaic only rotates 32-bit data, so roll the fp32
+        # buffer and bf16x2-split the rolled view
+        cj = pltpu.roll(c, (n_rows - j) % n_rows, 0)[:_FRAME_BLOCK]
+        hi = cj.astype(jnp.bfloat16)
+        lo = (cj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         rhi, rlo = rhi_ref[j], rlo_ref[j]
         ihi, ilo = ihi_ref[j], ilo_ref[j]
         re = re + dot(hi, rhi) + dot(hi, rlo) + dot(lo, rhi)

@@ -49,6 +49,15 @@ def build_frontend(lang, phones_dict):
         return get_ids
 
 
+def _set_device(device):
+    """--device cpu|tpu (reference CLIs take --device too,
+    training/cli.py:17).  Must run before any backend initializes; the
+    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
+    if device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--fastspeech2-config", type=Path, required=True)
@@ -65,7 +74,10 @@ def main():
     parser.add_argument("--lang", default="zh", choices=("zh", "en"))
     parser.add_argument("--max-text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=1024)
+    parser.add_argument("--device", default="tpu",
+                        choices=("cpu", "tpu"))
     args = parser.parse_args()
+    _set_device(args.device)
 
     am_cfg = Config.from_yaml(args.fastspeech2_config)
     voc_cfg = Config.from_yaml(args.pwg_config)

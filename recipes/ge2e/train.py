@@ -53,6 +53,15 @@ class MultiSpeakerSampler:
         return np.stack(utts).astype(np.float32)
 
 
+def _set_device(device):
+    """--device cpu|tpu (reference CLIs take --device too,
+    training/cli.py:17).  Must run before any backend initializes; the
+    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
+    if device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data-root", type=Path, required=True)
@@ -65,7 +74,10 @@ def main():
     parser.add_argument("--max-iteration", type=int, default=1560000)
     parser.add_argument("--save-interval", type=int, default=10000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", default="tpu",
+                        choices=("cpu", "tpu"))
     args = parser.parse_args()
+    _set_device(args.device)
 
     seed_everything(args.seed)
     sampler = MultiSpeakerSampler(args.data_root, args.speakers_per_batch,

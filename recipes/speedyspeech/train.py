@@ -32,6 +32,15 @@ def build_dataloader(metadata, cfg, shuffle):
     return DataLoader(table, sampler, speedyspeech_batch_fn)
 
 
+def _set_device(device):
+    """--device cpu|tpu (reference CLIs take --device too,
+    training/cli.py:17).  Must run before any backend initializes; the
+    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
+    if device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", type=Path, required=True)
@@ -41,7 +50,10 @@ def main():
     parser.add_argument("--phones-dict", type=Path, required=True)
     parser.add_argument("--tones-dict", type=Path, default=None)
     parser.add_argument("--opts", nargs="*", default=[])
+    parser.add_argument("--device", default="tpu",
+                        choices=("cpu", "tpu"))
     args = parser.parse_args()
+    _set_device(args.device)
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
     seed_everything(cfg.get("seed", 0))

@@ -66,6 +66,15 @@ def build_dataloader(metadata, cfg, shuffle, seed=0):
                       WaveFlowClip(cfg.clip_frames, cfg.n_shift, seed))
 
 
+def _set_device(device):
+    """--device cpu|tpu (reference CLIs take --device too,
+    training/cli.py:17).  Must run before any backend initializes; the
+    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
+    if device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", type=Path, required=True)
@@ -73,7 +82,10 @@ def main():
     parser.add_argument("--dev-metadata", type=Path, required=True)
     parser.add_argument("--output-dir", type=Path, default=Path("exp"))
     parser.add_argument("--opts", nargs="*", default=[])
+    parser.add_argument("--device", default="tpu",
+                        choices=("cpu", "tpu"))
     args = parser.parse_args()
+    _set_device(args.device)
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
     seed_everything(cfg.get("seed", 0))

@@ -122,7 +122,8 @@ def test_chain_fastspeech2(corpus):
          "--train-metadata", norm_train / "metadata.jsonl",
          "--dev-metadata", norm_dev / "metadata.jsonl",
          "--output-dir", exp,
-         "--phones-dict", dump / "phone_id_map.txt")
+         "--phones-dict", dump / "phone_id_map.txt",
+         "--device", "cpu")
     snapshots = list((exp / "checkpoints").glob("*.npz"))
     assert snapshots, "no snapshot written"
 
@@ -180,7 +181,8 @@ seed: 1
          "--train-metadata", dump / "metadata_train.jsonl",
          "--dev-metadata", dump / "metadata_dev.jsonl",
          "--output-dir", exp,
-         "--opts", "train_max_steps", "3")
+         "--opts", "train_max_steps", "3",
+         "--device", "cpu")
     snapshots = sorted((exp / "checkpoints").glob("*.npz"))
     assert snapshots, "no vocoder snapshot"
 
@@ -197,7 +199,8 @@ seed: 1
          "--pwg-checkpoint", snapshots[-1],
          "--phones-dict", root / "dump" / "phone_id_map.txt",
          "--text", text_file, "--output-dir", outdir,
-         "--lang", "zh", "--max-text-len", 32, "--max-frames", 128)
+         "--lang", "zh", "--max-text-len", 32, "--max-frames", 128,
+         "--device", "cpu")
     wavs = list(outdir.glob("*.wav"))
     assert wavs, "no wav synthesized"
     from parakeet_tpu.audio.codec import load_wav
