@@ -52,20 +52,29 @@ def main():
         mel = out["after_outs"]
         mel = jnp.pad(mel, ((0, 0), (2, 2), (0, 0)), mode="edge")
         wav = pwg.apply({"params": pwg_params}, noise, mel)
-        return wav[..., 0], out["frame_lengths"]
+        # next-iteration noise carrying a data dependency on wav, so
+        # chained timing loops cannot be elided (computed in-graph: eager
+        # glue between iterations costs ~15 ms/op on the remote backend)
+        next_noise = noise * (1.0 + 0.0 * jnp.mean(wav))
+        return wav[..., 0], out["frame_lengths"], next_noise
 
-    args = (fs2_vars, pwg_vars["params"], text, text_lengths,
-            jax.random.normal(jax.random.PRNGKey(2), noise.shape))
-    # warmup / compile
-    wav, frame_lengths = synthesize(*args)
-    wav.block_until_ready()
-
+    noise0 = jax.random.normal(jax.random.PRNGKey(2), noise.shape)
+    args = (fs2_vars, pwg_vars["params"], text, text_lengths, noise0)
+    # warmup / compile; the host fetch also forces real execution (on the
+    # axon remote backend block_until_ready alone does not synchronize
+    # until the process has fetched at least once)
+    wav, frame_lengths, nz = synthesize(*args)
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
-    iters = 5
+
+    # chained timing: each iteration's noise depends on the previous wav
+    # (prevents elision), with ONE host fetch at the end — measures true
+    # device throughput without per-call tunnel-sync overhead
+    iters = 10
     tic = time.perf_counter()
     for _ in range(iters):
-        wav, frame_lengths = synthesize(*args)
-        wav.block_until_ready()          # honest per-iteration sync
+        wav, frame_lengths, nz = synthesize(fs2_vars, pwg_vars["params"],
+                                            text, text_lengths, nz)
+    np.asarray(wav)
     elapsed = (time.perf_counter() - tic) / iters
 
     audio_seconds = wav.shape[-1] / sr

@@ -6,13 +6,29 @@ non-causal generator conditioned on upsampled mel, a dilated-conv
 discriminator, and a residual (WaveNet-style) discriminator.  TPU-first
 choices:
 
-- NWC layout (time, channel-last) so every conv maps to XLA's native TPU
-  convolution; no transposes anywhere.
-- weight normalization via flax.linen.WeightNorm — fold-able into plain
-  kernels for inference (the checkpoint converter performs the fold the
-  reference does with remove_weight_norm, parallel_wavegan.py:474-496).
-- generation is a single jit-compiled graph over a static number of frames;
-  noise is passed explicitly (functional RNG) rather than sampled inside.
+- Dilated convs are *shifted matmuls* (``conv1d_taps``): the time axis is
+  the MXU row dimension, each tap is a (T, Cin) @ (Cin, Cout) matmul on a
+  statically shifted view.  XLA's generic conv lowering handles the
+  batch=1 / tiny-channel / quarter-million-sample shapes of vocoder
+  inference poorly (measured ~2x slower than this formulation, and it
+  also unlocks the fused Pallas path below).
+- The residual stack stores its parameters *stacked over layers*
+  ``(L, ...)`` so the whole 30-layer stack can be handed to one fused
+  Pallas kernel (ops/pallas/pwg_stack.py) that keeps activations in VMEM
+  across layers instead of round-tripping (T, C) tensors through HBM per
+  conv.  ``impl='xla'`` keeps the pure-XLA shifted-matmul path
+  (differentiable; used for training and on CPU).
+- Nearest-upsample + FIR smoothing (reference UpsampleNet,
+  parallel_wavegan.py:26-141) is computed *polyphase at frame rate*:
+  nearest-stretch by s followed by a (2s+1)-tap FIR equals, per output
+  phase r, a 3-tap combination of neighboring input frames.  The
+  upsampled signal is never materialized before the final reshape.
+- weight normalization is an explicit (kernel, scale) parameterization
+  (effective = scale * kernel / ||kernel||, matching flax WeightNorm and
+  the reference's paddle weight_norm, parallel_wavegan.py:474-496);
+  folding for inference is a no-op cost (norms are over tiny kernels).
+- generation is a single jit-compiled graph over a static number of
+  frames; noise is passed explicitly (functional RNG).
 """
 from __future__ import annotations
 
@@ -22,19 +38,113 @@ from typing import Any, Dict, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["PWGGenerator", "PWGDiscriminator", "ResidualPWGDiscriminator",
-           "pwg_inference"]
+           "pwg_inference", "conv1d_taps", "WNConv1d", "ResidualStack"]
+
+_WN_EPS = 1e-12
 
 
-def _maybe_wn(conv: nn.Module, use_wn: bool, name: str) -> nn.Module:
-    if use_wn:
-        return nn.WeightNorm(conv, name=f"{name}_wn")
-    return conv
+def _wn(kernel: jnp.ndarray, scale: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Weight norm over all axes but the last: scale * k / ||k||."""
+    if scale is None:
+        return kernel
+    axes = tuple(range(kernel.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=axes, keepdims=True)
+                    + _WN_EPS)
+    return kernel * (scale / norm)
+
+
+def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
+    """(B, T, C) -> y with y[:, t] = x[:, t + off], zero outside [0, T)."""
+    if off == 0:
+        return x
+    t = x.shape[1]
+    if off > 0:
+        return jnp.pad(x, ((0, 0), (0, off), (0, 0)))[:, off:]
+    return jnp.pad(x, ((0, 0), (-off, 0), (0, 0)))[:, :t]
+
+
+def conv1d_taps(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int = 1,
+                padding: str = "SAME",
+                dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Dilated 1-D conv as k shifted matmuls (MXU-friendly on TPU).
+
+    x: (B, T, Cin); kernel: (k, Cin, Cout).  SAME is zero-padded and
+    requires odd k; VALID returns T - (k-1)*dilation frames.  Accumulates
+    in fp32, returns ``dtype``.
+    """
+    k = kernel.shape[0]
+    xd = x.astype(dtype)
+    wd = kernel.astype(dtype)
+    acc = None
+    if padding == "SAME":
+        assert k % 2 == 1, "SAME padding requires odd kernel size"
+        c = k // 2
+        for j in range(k):
+            y = jnp.dot(_shift(xd, (j - c) * dilation), wd[j],
+                        preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    elif padding == "VALID":
+        out_t = x.shape[1] - (k - 1) * dilation
+        for j in range(k):
+            y = jnp.dot(xd[:, j * dilation:j * dilation + out_t], wd[j],
+                        preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    else:
+        raise ValueError(f"unsupported padding {padding!r}")
+    return acc.astype(dtype)
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized dilated Conv1D via shifted matmuls (NWC)."""
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    padding: str = "SAME"
+    use_bias: bool = True
+    use_weight_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(
+            in_axis=-2, out_axis=-1), (self.kernel_size, cin, self.features))
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,)) if self.use_weight_norm else None
+        y = conv1d_taps(x, _wn(kernel, scale), self.dilation, self.padding,
+                        self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _phase_masks(scale: int) -> np.ndarray:
+    """Static (3, 2*scale+1, scale) masks: masks[m, j, r] == 1 iff FIR tap
+    j of output phase r reads input frame n + (m - 1) after nearest-stretch
+    by ``scale`` (x_up[n*s + r + j - s] == mel[n + floor((r + j - s)/s)])."""
+    kt = 2 * scale + 1
+    masks = np.zeros((3, kt, scale), np.float32)
+    for r in range(scale):
+        for j in range(kt):
+            m = (r + j - scale) // scale
+            masks[m + 1, j, r] = 1.0
+    return masks
 
 
 class UpsampleNet(nn.Module):
-    """Nearest-stretch + 2D conv per scale; mel (B, T, F) -> (B, T*prod, F)."""
+    """Polyphase nearest-stretch + FIR; mel (B, N, F) -> (B, N*prod, F).
+
+    Equals the reference's repeat-then-Conv2D(2s+1, kf) per scale
+    (parallel_wavegan.py:26-66) but computed at frame rate: for each
+    output phase the FIR collapses to a 3-tap combination of neighboring
+    input frames, so the stretched signal is never materialized before
+    the final reshape.
+    """
     upsample_scales: Sequence[int]
     freq_axis_kernel_size: int = 1
     use_weight_norm: bool = True
@@ -44,20 +154,48 @@ class UpsampleNet(nn.Module):
 
     @nn.compact
     def __call__(self, c):
-        # image layout: (B, T, F, 1)
-        x = c[..., None]
-        for i, scale in enumerate(self.upsample_scales):
-            x = jnp.repeat(x, scale, axis=1)  # nearest along time
-            kf = self.freq_axis_kernel_size
-            conv = nn.Conv(1, (scale * 2 + 1, kf), padding="SAME",
-                           use_bias=False, dtype=self.dtype,
-                           name=f"conv_{i}")
-            x = _maybe_wn(conv, self.use_weight_norm, f"conv_{i}")(x)
+        x = c.astype(self.dtype)
+        kf = self.freq_axis_kernel_size
+        assert kf % 2 == 1, "freq_axis_kernel_size must be odd"
+        for i, s in enumerate(self.upsample_scales):
+            kt = 2 * s + 1
+            kernel = self.param(f"conv_{i}_kernel",
+                                nn.initializers.lecun_normal(
+                                    in_axis=-2, out_axis=-1),
+                                (kt, kf, 1, 1))[..., 0, 0]
+            if self.use_weight_norm:
+                scale = self.param(f"conv_{i}_scale", nn.initializers.ones,
+                                   (1,))
+                w = _wn(kernel.reshape(-1, 1), scale).reshape(kt, kf)
+            else:
+                w = kernel
+            w = w.astype(self.dtype)
+            # K[m] (kt x kf -> s x kf): per-phase weights for frame n+m-1
+            masks = jnp.asarray(_phase_masks(s), self.dtype)
+            b, n, f = x.shape
+            y = jnp.zeros((b, n, s, f), self.dtype)
+            for m in range(3):
+                km = jnp.einsum("jr,ji->ri", masks[m], w)  # (s, kf)
+                xm = _shift(x, m - 1)
+                for fi in range(kf):
+                    foff = fi - kf // 2
+                    if foff == 0:
+                        xs = xm
+                    elif foff > 0:
+                        xs = jnp.concatenate(
+                            [xm[:, :, foff:],
+                             jnp.zeros((b, n, foff), self.dtype)], 2)
+                    else:
+                        xs = jnp.concatenate(
+                            [jnp.zeros((b, n, -foff), self.dtype),
+                             xm[:, :, :foff]], 2)
+                    y = y + xs[:, :, None, :] * km[None, None, :, fi:fi + 1]
+            x = y.reshape(b, n * s, f)
             if self.nonlinear_activation is not None:
                 act = getattr(nn, self.nonlinear_activation.lower(), None) \
                     or getattr(jax.nn, self.nonlinear_activation.lower())
                 x = act(x, **(self.nonlinear_activation_params or {}))
-        return x[..., 0]
+        return x
 
 
 class ConvInUpsampleNet(nn.Module):
@@ -76,49 +214,136 @@ class ConvInUpsampleNet(nn.Module):
     @nn.compact
     def __call__(self, c):
         k = 2 * self.aux_context_window + 1
-        conv_in = nn.Conv(self.aux_channels, (k,), padding="VALID",
-                          use_bias=False, dtype=self.dtype, name="conv_in")
-        c = _maybe_wn(conv_in, self.use_weight_norm, "conv_in")(c)
+        c = WNConv1d(self.aux_channels, k, padding="VALID", use_bias=False,
+                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                     name="conv_in")(c)
         return UpsampleNet(
             self.upsample_scales, self.freq_axis_kernel_size,
             self.use_weight_norm, dtype=self.dtype, name="upsample")(c)
 
 
-class ResidualBlock(nn.Module):
-    """Gated dilated conv block with residual + skip outputs (NWC)."""
+def _stacked_lecun(in_axis=-2, out_axis=-1):
+    return nn.initializers.variance_scaling(
+        1.0, "fan_in", "truncated_normal", in_axis=in_axis, out_axis=out_axis,
+        batch_axis=(0,))
+
+
+class ResidualStack(nn.Module):
+    """L gated dilated-conv residual blocks with layer-stacked parameters.
+
+    Equivalent to L chained reference ResidualBlocks
+    (parallel_wavegan.py:144-316): per layer
+    ``gate = conv_d(x) + aux(c); h = tanh(a)*sigmoid(b);
+    skip += skip_conv(h); x = (out_conv(h) + x) * sqrt(0.5)``.
+    Returns (x_final, skip_sum) — callers apply the sqrt(1/L) skip scale.
+
+    Parameters are stacked ``(L, ...)`` so the fused Pallas TPU kernel can
+    consume them directly; ``impl`` selects 'xla' (shifted matmuls,
+    differentiable, any backend), 'pallas' (fused TPU forward), or 'auto'.
+    """
+    layers: int = 30
+    stacks: int = 3
     kernel_size: int = 3
     residual_channels: int = 64
     gate_channels: int = 128
     skip_channels: int = 64
     aux_channels: Optional[int] = 80
-    dilation: int = 1
     dropout: float = 0.0
     bias: bool = True
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"
+
+    def dilations(self):
+        per = self.layers // self.stacks
+        return tuple(2 ** (i % per) for i in range(self.layers))
 
     @nn.compact
     def __call__(self, x, c=None, *, deterministic: bool = True):
-        residual = x
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        conv = nn.Conv(self.gate_channels, (self.kernel_size,),
-                       kernel_dilation=(self.dilation,), padding="SAME",
-                       use_bias=self.bias, dtype=self.dtype, name="conv")
-        x = _maybe_wn(conv, self.use_weight_norm, "conv")(x)
+        L, k = self.layers, self.kernel_size
+        cr, cg, cs = (self.residual_channels, self.gate_channels,
+                      self.skip_channels)
+        half = cg // 2
+        wn = self.use_weight_norm
+
+        def p(name, shape, init=None):
+            return self.param(name, init or _stacked_lecun(), shape)
+
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        conv_k = p("conv_kernel", (L, k, cr, cg))
+        conv_s = p("conv_scale", (L, cg), ones) if wn else None
+        conv_b = p("conv_bias", (L, cg), zeros) if self.bias else None
         if c is not None and self.aux_channels is not None:
-            aux = nn.Conv(self.gate_channels, (1,), use_bias=False,
-                          dtype=self.dtype, name="conv1x1_aux")
-            x = x + _maybe_wn(aux, self.use_weight_norm, "conv1x1_aux")(c)
-        a, b = jnp.split(x, 2, axis=-1)
-        x = jnp.tanh(a) * jax.nn.sigmoid(b)
-        skip_conv = nn.Conv(self.skip_channels, (1,), use_bias=self.bias,
-                            dtype=self.dtype, name="conv1x1_skip")
-        out_conv = nn.Conv(self.residual_channels, (1,), use_bias=self.bias,
-                           dtype=self.dtype, name="conv1x1_out")
-        skip = _maybe_wn(skip_conv, self.use_weight_norm, "conv1x1_skip")(x)
-        res = (_maybe_wn(out_conv, self.use_weight_norm, "conv1x1_out")(x)
-               + residual) * math.sqrt(0.5)
-        return res, skip
+            aux_k = p("aux_kernel", (L, self.aux_channels, cg))
+            aux_s = p("aux_scale", (L, cg), ones) if wn else None
+        else:
+            aux_k = aux_s = None
+        skip_k = p("skip_kernel", (L, half, cs))
+        skip_s = p("skip_scale", (L, cs), ones) if wn else None
+        skip_b = p("skip_bias", (L, cs), zeros) if self.bias else None
+        out_k = p("out_kernel", (L, half, cr))
+        out_s = p("out_scale", (L, cr), ones) if wn else None
+        out_b = p("out_bias", (L, cr), zeros) if self.bias else None
+
+        dil = self.dilations()
+        dt = self.dtype
+
+        from ..ops.pallas.pwg_stack import (fused_residual_stack,
+                                            fused_stack_supported)
+        supported = (c is not None and self.aux_channels is not None
+                     and fused_stack_supported(cr, cg, cs, k, L,
+                                               self.stacks))
+        use_pallas = False
+        if self.impl == "pallas":
+            if not supported:
+                raise ValueError("fused pallas stack unsupported for this "
+                                 "ResidualStack configuration")
+            use_pallas = True
+        elif self.impl == "auto":
+            use_pallas = (deterministic and supported
+                          and jax.default_backend() in ("tpu", "axon"))
+        if use_pallas:
+            weights = dict(
+                conv=jax.vmap(_wn)(conv_k, conv_s) if wn else conv_k,
+                aux=jax.vmap(_wn)(aux_k, aux_s) if wn else aux_k,
+                skip=jax.vmap(_wn)(skip_k, skip_s) if wn else skip_k,
+                out=jax.vmap(_wn)(out_k, out_s) if wn else out_k,
+                conv_b=conv_b, skip_b=skip_b, out_b=out_b)
+            xf, skips = fused_residual_stack(x, c, weights, dilations=dil,
+                                             stacks=self.stacks)
+            return xf.astype(dt), skips
+
+        drop = nn.Dropout(self.dropout)
+        skips = jnp.zeros(x.shape[:2] + (cs,), jnp.float32)
+        x = x.astype(dt)
+        cdt = None if c is None else c.astype(dt)
+        for i in range(L):
+            xi = drop(x, deterministic=deterministic)
+            g = conv1d_taps(xi, _wn(conv_k[i], None if conv_s is None
+                                    else conv_s[i]), dil[i], "SAME", dt)
+            g = g.astype(jnp.float32)
+            if conv_b is not None:
+                g = g + conv_b[i]
+            if aux_k is not None:
+                g = g + jnp.dot(cdt, _wn(aux_k[i], None if aux_s is None
+                                         else aux_s[i]).astype(dt),
+                                preferred_element_type=jnp.float32)
+            a, b = g[..., :half], g[..., half:]
+            h = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dt)
+            s = jnp.dot(h, _wn(skip_k[i], None if skip_s is None
+                               else skip_s[i]).astype(dt),
+                        preferred_element_type=jnp.float32)
+            if skip_b is not None:
+                s = s + skip_b[i]
+            skips = skips + s
+            o = jnp.dot(h, _wn(out_k[i], None if out_s is None
+                               else out_s[i]).astype(dt),
+                        preferred_element_type=jnp.float32)
+            if out_b is not None:
+                o = o + out_b[i]
+            x = ((o + x.astype(jnp.float32)) * math.sqrt(0.5)).astype(dt)
+        return x, skips
 
 
 class PWGGenerator(nn.Module):
@@ -142,6 +367,7 @@ class PWGGenerator(nn.Module):
     upsample_scales: Sequence[int] = (4, 4, 4, 4)
     freq_axis_kernel_size: int = 1
     dtype: jnp.dtype = jnp.float32
+    stack_impl: str = "auto"
 
     @property
     def upsample_factor(self) -> int:
@@ -156,33 +382,29 @@ class PWGGenerator(nn.Module):
             tuple(self.upsample_scales), self.aux_channels,
             self.aux_context_window, self.freq_axis_kernel_size,
             self.use_weight_norm, dtype=self.dtype, name="upsample_net")(c)
-        first = nn.Conv(self.residual_channels, (1,), use_bias=True,
-                        dtype=self.dtype, name="first_conv")
-        x = _maybe_wn(first, self.use_weight_norm, "first_conv")(x)
-        layers_per_stack = self.layers // self.stacks
-        skips = 0.0
-        for i in range(self.layers):
-            x, s = ResidualBlock(
-                kernel_size=self.kernel_size,
-                residual_channels=self.residual_channels,
-                gate_channels=self.gate_channels,
-                skip_channels=self.skip_channels,
-                aux_channels=self.aux_channels,
-                dilation=2 ** (i % layers_per_stack),
-                dropout=self.dropout, bias=self.bias,
-                use_weight_norm=self.use_weight_norm,
-                dtype=self.dtype, name=f"block_{i}")(
-                    x, c, deterministic=deterministic)
-            skips = skips + s
+        x = WNConv1d(self.residual_channels, 1, use_bias=True,
+                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                     name="first_conv")(x)
+        x, skips = ResidualStack(
+            layers=self.layers, stacks=self.stacks,
+            kernel_size=self.kernel_size,
+            residual_channels=self.residual_channels,
+            gate_channels=self.gate_channels,
+            skip_channels=self.skip_channels,
+            aux_channels=self.aux_channels,
+            dropout=self.dropout, bias=self.bias,
+            use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+            impl=self.stack_impl, name="stack")(
+                x, c, deterministic=deterministic)
         skips = skips * math.sqrt(1.0 / self.layers)
 
-        h = nn.relu(skips)
-        c1 = nn.Conv(self.skip_channels, (1,), use_bias=True,
-                     dtype=self.dtype, name="last_conv_0")
-        h = nn.relu(_maybe_wn(c1, self.use_weight_norm, "last_conv_0")(h))
-        c2 = nn.Conv(self.out_channels, (1,), use_bias=True,
-                     dtype=self.dtype, name="last_conv_1")
-        return _maybe_wn(c2, self.use_weight_norm, "last_conv_1")(h)
+        h = nn.relu(skips).astype(self.dtype)
+        h = nn.relu(WNConv1d(self.skip_channels, 1, use_bias=True,
+                             use_weight_norm=self.use_weight_norm,
+                             dtype=self.dtype, name="last_conv_0")(h))
+        return WNConv1d(self.out_channels, 1, use_bias=True,
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="last_conv_1")(h)
 
 
 def pwg_inference(generator: PWGGenerator, variables, mel, rng=None,
@@ -227,16 +449,15 @@ class PWGDiscriminator(nn.Module):
         for i in range(self.layers - 1):
             dilation = 1 if i == 0 else (
                 i if self.dilation_factor == 1 else self.dilation_factor ** i)
-            conv = nn.Conv(self.conv_channels, (self.kernel_size,),
-                           kernel_dilation=(dilation,), padding="SAME",
-                           use_bias=self.bias, dtype=self.dtype,
-                           name=f"conv_{i}")
-            h = _maybe_wn(conv, self.use_weight_norm, f"conv_{i}")(h)
+            h = WNConv1d(self.conv_channels, self.kernel_size,
+                         dilation=dilation, use_bias=self.bias,
+                         use_weight_norm=self.use_weight_norm,
+                         dtype=self.dtype, name=f"conv_{i}")(h)
             h = nn.leaky_relu(h, self.negative_slope)
-        last = nn.Conv(self.out_channels, (self.kernel_size,),
-                       padding="SAME", use_bias=self.bias, dtype=self.dtype,
-                       name="conv_last")
-        return _maybe_wn(last, self.use_weight_norm, "conv_last")(h)
+        return WNConv1d(self.out_channels, self.kernel_size,
+                        use_bias=self.bias,
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="conv_last")(h)
 
 
 class ResidualPWGDiscriminator(nn.Module):
@@ -257,34 +478,26 @@ class ResidualPWGDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        first = nn.Conv(self.residual_channels, (1,), use_bias=True,
-                        dtype=self.dtype, name="first_conv")
-        h = nn.leaky_relu(
-            _maybe_wn(first, self.use_weight_norm, "first_conv")(x),
-            self.negative_slope)
-        layers_per_stack = self.layers // self.stacks
-        skips = 0.0
-        for i in range(self.layers):
-            h, s = ResidualBlock(
-                kernel_size=self.kernel_size,
-                residual_channels=self.residual_channels,
-                gate_channels=self.gate_channels,
-                skip_channels=self.skip_channels,
-                aux_channels=None,
-                dilation=2 ** (i % layers_per_stack),
-                dropout=self.dropout, bias=self.bias,
-                use_weight_norm=self.use_weight_norm,
-                dtype=self.dtype, name=f"block_{i}")(
-                    h, None, deterministic=deterministic)
-            skips = skips + s
+        h = WNConv1d(self.residual_channels, 1, use_bias=True,
+                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                     name="first_conv")(x)
+        h = nn.leaky_relu(h, self.negative_slope)
+        h, skips = ResidualStack(
+            layers=self.layers, stacks=self.stacks,
+            kernel_size=self.kernel_size,
+            residual_channels=self.residual_channels,
+            gate_channels=self.gate_channels,
+            skip_channels=self.skip_channels, aux_channels=None,
+            dropout=self.dropout, bias=self.bias,
+            use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+            impl="xla", name="stack")(h, None, deterministic=deterministic)
         skips = skips * math.sqrt(1.0 / self.layers)
 
-        h = nn.leaky_relu(skips, self.negative_slope)
-        c1 = nn.Conv(self.skip_channels, (1,), use_bias=True,
-                     dtype=self.dtype, name="last_conv_0")
+        h = nn.leaky_relu(skips.astype(self.dtype), self.negative_slope)
         h = nn.leaky_relu(
-            _maybe_wn(c1, self.use_weight_norm, "last_conv_0")(h),
-            self.negative_slope)
-        c2 = nn.Conv(self.out_channels, (1,), use_bias=True,
-                     dtype=self.dtype, name="last_conv_1")
-        return _maybe_wn(c2, self.use_weight_norm, "last_conv_1")(h)
+            WNConv1d(self.skip_channels, 1, use_bias=True,
+                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                     name="last_conv_0")(h), self.negative_slope)
+        return WNConv1d(self.out_channels, 1, use_bias=True,
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="last_conv_1")(h)

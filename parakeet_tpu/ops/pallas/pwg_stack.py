@@ -1,0 +1,218 @@
+"""Fused Parallel-WaveGAN residual-stack Pallas TPU kernel.
+
+The PWG generator runs 30 gated dilated-conv residual blocks over the
+full-rate waveform (reference: parakeet/models/parallel_wavegan/
+parallel_wavegan.py:144-316).  In XLA each block round-trips several
+(T, C) tensors through HBM (T ~ 270k samples for 11 s of 24 kHz audio),
+so the stack is bandwidth-bound at ~70 ms despite only ~0.8 TFLOP of
+bf16 compute.  This kernel keeps activations in VMEM across a *group* of
+layers (one stack of 10, dilations 1..512):
+
+- grid (batch, time-blocks).  x and c stay in HBM (memory_space=ANY);
+  each step DMAs one extended window of BLOCK + 2*HALO rows into VMEM,
+  where HALO = 1024 >= sum(dilations in the group) bounds the receptive
+  field growth, and runs all layers of the group on it.  Rows inside the
+  halo become progressively garbage (roll wrap-around); the center BLOCK
+  rows stay exact, and only they are written out.  (Expressing the halo
+  as prev/cur/next BlockSpec views instead triples the double-buffered
+  input windows and blows the 16 MB VMEM budget.)
+- dilated 3-tap convs are shifted matmuls: the +-d taps are
+  ``pltpu.roll`` of the fp32 x buffer (Mosaic only rotates 32-bit data),
+  lane-concatenated to a (R, 2*Cr) operand so the tap matmul runs at
+  full MXU width; the center tap and the mel conditioning are separate
+  dots.  All matmuls are bf16 with fp32 accumulation.
+- per layer: gate = taps + aux + bias; h = tanh(a)*sigmoid(b);
+  [skip|res] = h @ [Wskip|Wout]; skips += skip (fp32 accumulator);
+  x = (res + x) * sqrt(0.5), re-masked to zero outside the true signal
+  (the XLA path re-applies SAME zero padding at each conv; a gated
+  block of zero input is NOT zero, so evolved padding would otherwise
+  leak back into the signal edges).
+
+Chaining the ``stacks`` groups happens in XLA (one pallas_call per
+group; x and the skip partial sums make one HBM round-trip per group,
+~0.5 ms total).  Forward-only: ResidualStack uses this path for
+inference ('auto' on TPU); training takes the differentiable XLA path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_residual_stack", "fused_stack_supported"]
+
+_BLOCK = 2048     # center samples per grid step
+_HALO = 1024      # receptive-field halo per side per group (>= 1023)
+
+
+def fused_stack_supported(residual_channels: int, gate_channels: int,
+                          skip_channels: int, kernel_size: int,
+                          layers: int, stacks: int) -> bool:
+    if kernel_size != 3 or layers % stacks != 0:
+        return False
+    if gate_channels != 2 * residual_channels:
+        return False
+    if residual_channels != skip_channels:
+        return False
+    per = layers // stacks
+    if sum(2 ** (i % per) for i in range(layers)) // stacks > _HALO:
+        return False
+    return residual_channels in (32, 64, 128)
+
+
+def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
+                  x_out, skip_out, xdma, cdma, xbuf, sbuf, sem_x, sem_c,
+                  *, dils, cr: int, ca: int, t_signal: int):
+    """One group of len(dils) gated residual layers on an extended window.
+
+    x_hbm: (B, pad_t + 2*HALO, 128) bf16 in HBM (lane-padded for DMA
+    tiling); c_hbm likewise (ca lanes used)
+    w02: (Lg, 2cr, 2cr) bf16   [w_tap0; w_tap2] stacked on contraction
+    w1:  (Lg, cr, 2cr) bf16    center tap
+    wa:  (Lg, ca, 2cr) bf16    aux 1x1
+    wso: (Lg, cr, 2cr) bf16    [Wskip | Wout] stacked on output
+    bt:  (Lg, 1, 2cr) f32      gate bias
+    bso: (Lg, 1, 2cr) f32      [skip bias | out bias]
+    x_out: (1, BLOCK, cr) bf16; skip_out: (1, BLOCK, cr) f32
+    scratch: xdma/cdma (R, 128) bf16 DMA landing buffers, xbuf (R, cr)
+    f32, sbuf (R, cr) f32, sem_x/sem_c DMA semaphores
+    """
+    r = _BLOCK + 2 * _HALO
+    bb = pl.program_id(0)
+    f = pl.program_id(1)
+    row0 = f * _BLOCK           # ext window start in the padded array
+
+    cp_x = pltpu.make_async_copy(x_hbm.at[bb, pl.ds(row0, r)], xdma, sem_x)
+    cp_c = pltpu.make_async_copy(c_hbm.at[bb, pl.ds(row0, r)], cdma, sem_c)
+    cp_x.start()
+    cp_c.start()
+    cp_x.wait()
+    cp_c.wait()
+    xbuf[:] = xdma[:, :cr].astype(jnp.float32)
+    sbuf[:] = jnp.zeros((r, cr), jnp.float32)
+
+    # global signal row of ext row i is f*BLOCK - HALO + i
+    gstart = f * _BLOCK - _HALO
+    rows = gstart + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    mask = ((rows >= 0) & (rows < t_signal)).astype(jnp.float32)
+
+    cb = cdma[:, :ca]
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    for j, d in enumerate(dils):
+        x = xbuf[:]
+        # taps: row t of roll(x, d) holds x[t - d]
+        left = pltpu.roll(x, d, 0).astype(jnp.bfloat16)
+        right = pltpu.roll(x, r - d, 0).astype(jnp.bfloat16)
+        taps = jnp.concatenate([left, right], axis=1)       # (R, 2cr)
+        g = (dot(taps, w02[j]) + dot(x.astype(jnp.bfloat16), w1[j])
+             + dot(cb, wa[j]) + bt[j])
+        h = (jnp.tanh(g[:, :cr])
+             * jax.nn.sigmoid(g[:, cr:])).astype(jnp.bfloat16)
+        so = dot(h, wso[j]) + bso[j]                        # (R, 2cr)
+        sbuf[:] = sbuf[:] + so[:, :cr]
+        xbuf[:] = (so[:, cr:] + x) * (math.sqrt(0.5) * mask)
+
+    x_out[0] = xbuf[_HALO:_HALO + _BLOCK].astype(jnp.bfloat16)
+    skip_out[0] = sbuf[_HALO:_HALO + _BLOCK]
+
+
+def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
+               interpret):
+    """x_pad/c_pad: (B, nblk*BLOCK + 2*HALO, C) bf16 zero-padded; returns
+    (x_new, skips) as (B, nblk*BLOCK, cr) [bf16, f32]."""
+    lg = len(dils)
+    blk = _BLOCK
+    r = blk + 2 * _HALO
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda bb, f: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid = (b, nblk)
+    out = pl.pallas_call(
+        functools.partial(_group_kernel, dils=tuple(dils), cr=cr,
+                          ca=ca, t_signal=t_signal),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  wspec((lg, 2 * cr, 2 * cr)), wspec((lg, cr, 2 * cr)),
+                  wspec((lg, ca, 2 * cr)), wspec((lg, cr, 2 * cr)),
+                  wspec((lg, 1, 2 * cr)), wspec((lg, 1, 2 * cr))],
+        out_specs=[
+            pl.BlockSpec((1, blk, cr), lambda bb, f: (bb, f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, cr), lambda bb, f: (bb, f, 0),
+                         memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((r, 128), jnp.bfloat16),
+                        pltpu.VMEM((r, 128), jnp.bfloat16),
+                        pltpu.VMEM((r, cr), jnp.float32),
+                        pltpu.VMEM((r, cr), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(x_pad, c_pad, *wg)
+    return out
+
+
+def fused_residual_stack(x, c, weights, *, dilations, stacks):
+    """x: (B, T, cr), c: (B, T, ca); weights dict of stacked (L, ...)
+    effective (weight-norm-folded) kernels from ResidualStack.
+
+    Returns (x_final (B, T, cr) bf16, skip_sum (B, T, cr) f32) — exact
+    same math as the XLA path modulo bf16 rounding.
+    """
+    b, t, cr = x.shape
+    ca = c.shape[-1]
+    l = weights["conv"].shape[0]
+    lg = l // stacks
+
+    conv = weights["conv"].astype(jnp.bfloat16)        # (L, 3, cr, 2cr)
+    w02 = jnp.concatenate([conv[:, 0], conv[:, 2]], axis=1)
+    w1 = conv[:, 1]
+    wa = weights["aux"].astype(jnp.bfloat16)
+    wso = jnp.concatenate([weights["skip"], weights["out"]],
+                          axis=2).astype(jnp.bfloat16)  # (L, cr, 2cr)
+    zeros_g = jnp.zeros((l, 1, 2 * cr), jnp.float32)
+    bt = (zeros_g if weights.get("conv_b") is None
+          else weights["conv_b"][:, None, :].astype(jnp.float32))
+    if weights.get("skip_b") is None:
+        bso = zeros_g
+    else:
+        bso = jnp.concatenate(
+            [weights["skip_b"], weights["out_b"]],
+            axis=1)[:, None, :].astype(jnp.float32)
+
+    nblk = -(-t // _BLOCK)
+    pad_t = nblk * _BLOCK
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def pad_sig(a):
+        # lane-pad to 128 channels: Mosaic DMA slices must be 128-aligned
+        a = jnp.pad(a, ((0, 0), (_HALO, pad_t - t + _HALO),
+                        (0, 128 - a.shape[-1])))
+        return a.astype(jnp.bfloat16)
+
+    c_pad = pad_sig(c)
+    xg = x
+    skips = None
+    for g in range(stacks):
+        sl = slice(g * lg, (g + 1) * lg)
+        wg = (w02[sl], w1[sl], wa[sl], wso[sl], bt[sl], bso[sl])
+        x_pad = pad_sig(xg)
+        xg, sk = _run_group(x_pad, c_pad, wg, dilations[sl], b=b,
+                            nblk=nblk, cr=cr, ca=ca, t_signal=t,
+                            interpret=interpret)
+        skips = sk if skips is None else skips + sk
+    return xg[:, :t], skips[:, :t]

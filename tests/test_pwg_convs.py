@@ -1,0 +1,72 @@
+"""Parity of the PWG shifted-matmul convs / polyphase upsampler against
+the naive XLA formulations they replace (reference semantics:
+parakeet/models/parallel_wavegan/parallel_wavegan.py:26-316)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parakeet_tpu.models.parallel_wavegan import (UpsampleNet, WNConv1d,
+                                                  conv1d_taps)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4])
+@pytest.mark.parametrize("padding", ["SAME", "VALID"])
+def test_conv1d_taps_matches_lax_conv(dilation, padding):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 50, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 6, 8)).astype(np.float32))
+    got = conv1d_taps(x, k, dilation, padding)
+    ref = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1,), padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_wnconv1d_matches_flax_weightnorm_conv():
+    import flax.linen as nn
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 40, 5)).astype(np.float32))
+
+    ours = WNConv1d(7, kernel_size=3, dilation=2)
+    ov = ours.init(jax.random.PRNGKey(0), x)
+
+    ref_mod = nn.WeightNorm(nn.Conv(7, (3,), kernel_dilation=(2,),
+                                    padding="SAME", name="conv"),
+                            name="conv_wn")
+    rv = ref_mod.init(jax.random.PRNGKey(1), x)
+    # copy our params into the flax WeightNorm parameterization
+    flat = {"params": {
+        "layer_instance": {"kernel": ov["params"]["kernel"],
+                           "bias": ov["params"]["bias"]},
+        "layer_instance/kernel/scale": ov["params"]["scale"]}}
+    np.testing.assert_allclose(
+        np.asarray(ours.apply(ov, x)),
+        np.asarray(ref_mod.apply(flat, x)), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kf", [1, 3])
+def test_upsamplenet_polyphase_matches_stretch_fir(kf):
+    """Polyphase frame-rate form == nearest-stretch + SAME 2D conv."""
+    rng = np.random.default_rng(2)
+    scales = (2, 3)
+    mel = jnp.asarray(rng.standard_normal((2, 7, 5)).astype(np.float32))
+
+    net = UpsampleNet(scales, freq_axis_kernel_size=kf)
+    v = net.init(jax.random.PRNGKey(0), mel)
+    got = net.apply(v, mel)
+
+    x = np.asarray(mel)[..., None]  # (B, T, F, 1)
+    for i, s in enumerate(scales):
+        kt = 2 * s + 1
+        kernel = np.asarray(v["params"][f"conv_{i}_kernel"])  # (kt,kf,1,1)
+        g = float(np.asarray(v["params"][f"conv_{i}_scale"])[0])
+        w = kernel * (g / np.sqrt((kernel ** 2).sum() + 1e-12))
+        x = np.repeat(x, s, axis=1)
+        x = np.asarray(jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(got), x[..., 0],
+                               rtol=1e-4, atol=1e-4)
