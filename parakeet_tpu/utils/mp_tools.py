@@ -9,7 +9,18 @@ import functools
 
 import jax
 
-__all__ = ["rank_zero_only", "is_main_process"]
+__all__ = ["rank_zero_only", "is_main_process", "thread_map"]
+
+
+def thread_map(fn, items, num_workers: int = 8):
+    """Map ``fn`` over ``items`` with a thread pool, preserving order
+    (the reference preprocessors use ThreadPoolExecutor the same way,
+    examples/fastspeech2/preprocess.py:122)."""
+    from concurrent.futures import ThreadPoolExecutor
+    if num_workers <= 1:
+        return [fn(x) for x in items]
+    with ThreadPoolExecutor(num_workers) as pool:
+        return list(pool.map(fn, items))
 
 
 def is_main_process() -> bool:

@@ -27,6 +27,7 @@ from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
 from parakeet_tpu.training.config import Config
+from parakeet_tpu.utils.device import set_device
 
 
 def build_frontend(lang, phones_dict):
@@ -49,15 +50,6 @@ def build_frontend(lang, phones_dict):
         return get_ids
 
 
-def _set_device(device):
-    """--device cpu|tpu (reference CLIs take --device too,
-    training/cli.py:17).  Must run before any backend initializes; the
-    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
-    if device == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--fastspeech2-config", type=Path, required=True)
@@ -77,7 +69,7 @@ def main():
     parser.add_argument("--device", default="tpu",
                         choices=("cpu", "tpu"))
     args = parser.parse_args()
-    _set_device(args.device)
+    set_device(args.device)
 
     am_cfg = Config.from_yaml(args.fastspeech2_config)
     voc_cfg = Config.from_yaml(args.pwg_config)

@@ -16,6 +16,7 @@ from parakeet_tpu.models import LSTMSpeakerEncoder
 from parakeet_tpu.models.ge2e_updater import (init_ge2e_train_state,
                                               make_ge2e_train_step)
 from parakeet_tpu.training.seeding import seed_everything
+from parakeet_tpu.utils.device import set_device
 
 
 class MultiSpeakerSampler:
@@ -53,15 +54,6 @@ class MultiSpeakerSampler:
         return np.stack(utts).astype(np.float32)
 
 
-def _set_device(device):
-    """--device cpu|tpu (reference CLIs take --device too,
-    training/cli.py:17).  Must run before any backend initializes; the
-    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
-    if device == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data-root", type=Path, required=True)
@@ -77,7 +69,7 @@ def main():
     parser.add_argument("--device", default="tpu",
                         choices=("cpu", "tpu"))
     args = parser.parse_args()
-    _set_device(args.device)
+    set_device(args.device)
 
     seed_everything(args.seed)
     sampler = MultiSpeakerSampler(args.data_root, args.speakers_per_batch,

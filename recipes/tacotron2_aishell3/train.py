@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Tacotron2 training CLI (reference: examples/tacotron2/train.py).
+"""GE2E-conditioned Tacotron2 training on AISHELL-3 (voice cloning).
 
-Metadata rows need: text (ids), speech (.npy path) — use the fastspeech2
-preprocess/normalize stages (durations are simply unused) or a character
-frontend for LJSpeech.
+Equivalent of the reference trainer (reference:
+examples/tacotron2_aishell3/train.py:36 + aishell3.py:31-56): each batch
+row carries a precomputed GE2E utterance embedding (``spk_emb``) that
+conditions the encoder (Tacotron2 ``d_global_condition``).
+
+Usage:
+  python train.py --config conf/default.yaml \
+      --train-metadata dump/metadata_train.jsonl \
+      --dev-metadata dump/metadata_dev.jsonl \
+      --phones-dict dump/phone_id_map.txt --output-dir exp
 """
 import argparse
-import functools
 from pathlib import Path
 
 import jax
@@ -26,10 +32,10 @@ from parakeet_tpu.training.optimizer import build_optimizer
 from parakeet_tpu.training.seeding import seed_everything
 from parakeet_tpu.training.trainer import Trainer
 from parakeet_tpu.training.updater import StandardUpdater
-from parakeet_tpu.utils.device import set_device
+from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
-def tacotron2_batch_fn(examples, text_bucket=16, frame_bucket=64):
+def batch_fn(examples, text_bucket=16, frame_bucket=64):
     text_len = bucket_length(
         max(len(np.asarray(x["text"])) for x in examples), text_bucket)
     frame_len = bucket_length(
@@ -47,18 +53,17 @@ def tacotron2_batch_fn(examples, text_bucket=16, frame_bucket=64):
         "speech_lengths": np.array(
             [np.asarray(x["speech"]).shape[0] for x in examples],
             np.int64),
-        **({"spk_emb": np.stack([np.asarray(x["spk_emb"], np.float32)
-                                 for x in examples])}
-           if "spk_emb" in examples[0] else {}),
+        "spk_emb": np.stack([np.asarray(x["spk_emb"], np.float32)
+                             for x in examples]),
     }
 
 
 def build_dataloader(metadata, cfg, shuffle):
-    converters = {"speech": np.load}
+    converters = {"speech": np.load, "spk_emb": np.load}
     table = DataTable.from_jsonl(metadata, converters=converters)
     sampler = BatchSampler(len(table), cfg.batch_size, shuffle=shuffle,
                            drop_last=shuffle)
-    return DataLoader(table, sampler, tacotron2_batch_fn)
+    return DataLoader(table, sampler, batch_fn)
 
 
 def main():
@@ -69,20 +74,21 @@ def main():
     parser.add_argument("--output-dir", type=Path, default=Path("exp"))
     parser.add_argument("--phones-dict", type=Path, required=True)
     parser.add_argument("--opts", nargs="*", default=[])
-    parser.add_argument("--device", default="tpu",
-                        choices=("cpu", "tpu"))
+    add_device_arg(parser)
     args = parser.parse_args()
     set_device(args.device)
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
     seed_everything(cfg.get("seed", 0))
 
-    train_dl = build_dataloader(args.train_metadata, cfg, True)
-    dev_dl = build_dataloader(args.dev_metadata, cfg, False)
+    train_dl = build_dataloader(args.train_metadata, cfg, shuffle=True)
+    dev_dl = build_dataloader(args.dev_metadata, cfg, shuffle=False)
     sample = next(iter(train_dl))
 
     vocab_size = sum(1 for _ in open(args.phones_dict))
-    model = Tacotron2(vocab_size=vocab_size, **cfg.get("model", {}))
+    model_kwargs = dict(cfg.get("model", {}))
+    model_kwargs.setdefault("d_global_condition", 256)
+    model = Tacotron2(vocab_size=vocab_size, **model_kwargs)
     opt_cfg = cfg.get("optimizer", {})
     tx = build_optimizer(opt_cfg.get("optim", "adam"),
                          opt_cfg.get("learning_rate", 1e-3))

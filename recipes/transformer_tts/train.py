@@ -22,6 +22,7 @@ from parakeet_tpu.training.optimizer import build_optimizer
 from parakeet_tpu.training.seeding import seed_everything
 from parakeet_tpu.training.trainer import Trainer
 from parakeet_tpu.training.updater import StandardUpdater
+from parakeet_tpu.utils.device import set_device
 
 
 def build_dataloader(metadata, cfg, shuffle):
@@ -29,15 +30,6 @@ def build_dataloader(metadata, cfg, shuffle):
     sampler = BatchSampler(len(table), cfg.batch_size, shuffle=shuffle,
                            drop_last=shuffle)
     return DataLoader(table, sampler, transformer_tts_batch_fn)
-
-
-def _set_device(device):
-    """--device cpu|tpu (reference CLIs take --device too,
-    training/cli.py:17).  Must run before any backend initializes; the
-    axon plugin overrides JAX_PLATFORMS, so use jax.config directly."""
-    if device == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -51,7 +43,7 @@ def main():
     parser.add_argument("--device", default="tpu",
                         choices=("cpu", "tpu"))
     args = parser.parse_args()
-    _set_device(args.device)
+    set_device(args.device)
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
     seed_everything(cfg.get("seed", 0))
