@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""PWGAN training-throughput benchmark (avg_ips, sequences/sec).
+
+Equivalent of the reference benchmark protocol (reference:
+tests/benchmark/PWGAN/run_benchmark.sh:24-36 + run_all.sh:34-50): run N
+training iterations of the default-config Parallel WaveGAN at batch size
+6 and 26 on synthetic data and report ``avg_ips = batch_size /
+avg_batch_cost`` as parsed from the trainer log in the reference.
+
+Timing is chained-with-final-fetch (the train step is donated/jitted;
+per-iteration host sync would measure tunnel latency, not the device).
+
+Usage:  python benchmarks/train_pwgan.py [--iters 100] [--batch-sizes 6 26]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_batch_size(batch_size: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import (PWGDiscriminator, PWGGenerator,
+                                     init_pwg_train_state,
+                                     make_pwg_train_step)
+    from parakeet_tpu.training.optimizer import build_optimizer
+
+    gen = PWGGenerator(layers=30, stacks=3, residual_channels=64,
+                       gate_channels=128, skip_channels=64,
+                       upsample_scales=(4, 5, 3, 5), aux_context_window=2)
+    disc = PWGDiscriminator(layers=10, conv_channels=64)
+    hop = gen.upsample_factor                      # 300
+    batch_max_steps = 25500                        # reference config
+    frames = batch_max_steps // hop
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal(
+            (batch_size, batch_max_steps)).astype(np.float32)),
+        "mel": jnp.asarray(rng.standard_normal(
+            (batch_size, frames + 4, 80)).astype(np.float32)),
+    }
+
+    key = jax.random.PRNGKey(0)
+    noise = jnp.zeros((batch_size, batch_max_steps, 1))
+    gv = jax.jit(gen.init)(key, noise, batch["mel"])
+    dv = jax.jit(disc.init)(jax.random.PRNGKey(1), batch["wav"][..., None])
+    gen_tx = build_optimizer("adam", 1e-4)
+    disc_tx = build_optimizer("adam", 5e-5)
+    state = init_pwg_train_state(gv["params"], dv["params"], gen_tx,
+                                 disc_tx, jax.random.PRNGKey(2))
+    step = make_pwg_train_step(gen, disc, gen_tx, disc_tx, lambda_adv=4.0,
+                               discriminator_train_start_steps=0)
+
+    state, metrics = step(state, batch)            # compile
+    np.asarray(metrics["generator_loss"])          # force real execution
+
+    tic = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    np.asarray(metrics["generator_loss"])
+    avg_batch_cost = (time.perf_counter() - tic) / iters
+    return batch_size / avg_batch_cost
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--batch-sizes", type=int, nargs="+",
+                        default=[6, 26])
+    args = parser.parse_args()
+
+    for bs in args.batch_sizes:
+        ips = bench_batch_size(bs, args.iters)
+        print(json.dumps({"metric": "pwgan_train_avg_ips",
+                          "batch_size": bs,
+                          "value": round(ips, 3),
+                          "unit": "sequences/sec"}))
+
+
+if __name__ == "__main__":
+    main()

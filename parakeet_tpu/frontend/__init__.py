@@ -10,6 +10,7 @@ from .generate_lexicon import (FINALS, INITIALS, generate_lexicon,
                                split_syllable, syllable_to_phones)
 from .normalizer import normalize as normalize_en
 from .phonectic import English, EnglishCharacter, Phonetics
+from .pinyin import ParakeetPinyin, ParakeetPinyinWithTone
 from .punctuation import get_punctuations
 from .tone_sandhi import ToneSandhi
 from .vocab import Vocab
@@ -21,6 +22,7 @@ __all__ = [
     "ARPABET_PHONES", "ARPABET_STRESS_PHONES", "RuleG2P", "LexiconG2P",
     "get_g2p", "normalize_en", "get_punctuations",
     "Frontend", "TextNormalizer", "ToneSandhi",
+    "ParakeetPinyin", "ParakeetPinyinWithTone",
     "generate_lexicon", "split_syllable", "syllable_to_phones",
     "INITIALS", "FINALS",
 ]

@@ -32,6 +32,7 @@ choices:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional, Sequence
 
@@ -318,31 +319,47 @@ class ResidualStack(nn.Module):
         skips = jnp.zeros(x.shape[:2] + (cs,), jnp.float32)
         x = x.astype(dt)
         cdt = None if c is None else c.astype(dt)
-        for i in range(L):
-            xi = drop(x, deterministic=deterministic)
-            g = conv1d_taps(xi, _wn(conv_k[i], None if conv_s is None
-                                    else conv_s[i]), dil[i], "SAME", dt)
-            g = g.astype(jnp.float32)
-            if conv_b is not None:
-                g = g + conv_b[i]
-            if aux_k is not None:
-                g = g + jnp.dot(cdt, _wn(aux_k[i], None if aux_s is None
-                                         else aux_s[i]).astype(dt),
+
+        def layer_body(xi, x, skips, cdt, wl, *, d):
+            """One gated residual layer as a pure function of its layer-
+            sliced weights; rematerialized under grad in training so the
+            backward pass does not keep L full-rate gate activations live
+            (30 layers x (B, T, 2cr) fp32 OOMs HBM at the reference's
+            batch-26 benchmark point)."""
+            ck, cb_, ak, sk, sb_, ok, ob_ = wl
+            g = conv1d_taps(xi, ck, d, "SAME", dt).astype(jnp.float32)
+            if cb_ is not None:
+                g = g + cb_
+            if ak is not None:
+                g = g + jnp.dot(cdt, ak.astype(dt),
                                 preferred_element_type=jnp.float32)
             a, b = g[..., :half], g[..., half:]
             h = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dt)
-            s = jnp.dot(h, _wn(skip_k[i], None if skip_s is None
-                               else skip_s[i]).astype(dt),
+            s = jnp.dot(h, sk.astype(dt),
                         preferred_element_type=jnp.float32)
-            if skip_b is not None:
-                s = s + skip_b[i]
-            skips = skips + s
-            o = jnp.dot(h, _wn(out_k[i], None if out_s is None
-                               else out_s[i]).astype(dt),
+            if sb_ is not None:
+                s = s + sb_
+            o = jnp.dot(h, ok.astype(dt),
                         preferred_element_type=jnp.float32)
-            if out_b is not None:
-                o = o + out_b[i]
+            if ob_ is not None:
+                o = o + ob_
             x = ((o + x.astype(jnp.float32)) * math.sqrt(0.5)).astype(dt)
+            return x, skips + s
+
+        for i in range(L):
+            xi = drop(x, deterministic=deterministic)
+            wl = (_wn(conv_k[i], None if conv_s is None else conv_s[i]),
+                  None if conv_b is None else conv_b[i],
+                  None if aux_k is None else
+                  _wn(aux_k[i], None if aux_s is None else aux_s[i]),
+                  _wn(skip_k[i], None if skip_s is None else skip_s[i]),
+                  None if skip_b is None else skip_b[i],
+                  _wn(out_k[i], None if out_s is None else out_s[i]),
+                  None if out_b is None else out_b[i])
+            body = functools.partial(layer_body, d=dil[i])
+            if not deterministic:
+                body = jax.checkpoint(body, static_argnums=())
+            x, skips = body(xi, x, skips, cdt, wl)
         return x, skips
 
 

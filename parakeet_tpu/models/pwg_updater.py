@@ -57,7 +57,7 @@ def make_pwg_train_step(generator, discriminator, gen_tx, disc_tx, *,
 
     def train_step(state: TrainState, batch):
         wav, mel = batch["wav"], batch["mel"]
-        rng, noise_rng = jax.random.split(state.rng)
+        rng, noise_rng, drop_rng = jax.random.split(state.rng, 3)
         noise = jax.random.normal(noise_rng, (*wav.shape, 1),
                                   dtype=wav.dtype)
         disc_on = state.step >= discriminator_train_start_steps
@@ -65,7 +65,12 @@ def make_pwg_train_step(generator, discriminator, gen_tx, disc_tx, *,
 
         # ---------------- generator update ----------------
         def gen_loss_fn(g_params):
-            fake = generator.apply({"params": g_params}, noise, mel)
+            # deterministic=False: enables dropout AND keeps the
+            # ResidualStack on the differentiable XLA path (the fused
+            # Pallas forward is inference-only)
+            fake = generator.apply({"params": g_params}, noise, mel,
+                                   deterministic=False,
+                                   rngs={"dropout": drop_rng})
             sc_loss, mag_loss = mrstft(fake[..., 0], wav)
 
             def adv_fn(_):

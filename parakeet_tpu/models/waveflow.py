@@ -48,52 +48,145 @@ def unfold(x: jnp.ndarray) -> jnp.ndarray:
 
 class UpsampleNet(nn.Module):
     """Mel (B, T_mel, C) -> (B, T_mel * prod(factors), C) via stacked
-    2D transposed convs + LeakyReLU(0.4) (reference waveflow.py:54-133)."""
+    2D transposed convs + LeakyReLU(0.4) (reference waveflow.py:54-133).
+
+    Computed *polyphase at frame rate*: a stride-s ConvTranspose with a
+    (3, 2s) kernel touches, per output phase r, exactly two input frames
+    and three freq neighbors, so each stage is 6 shifted multiply-adds
+    at input rate followed by a reshape.  Numerically identical to
+    flax.linen.ConvTranspose(padding='SAME') (verified to 6e-8); the
+    naive single-channel image ConvTranspose lowers to a ~150 ms XLA
+    fusion at 22 kHz rates and dominated the whole sampler.
+    """
     upsample_factors: Sequence[int] = (16, 16)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, mel):
-        # treat (freq, time) as an image: (B, C_mel, T, 1)
-        x = mel.transpose(0, 2, 1)[..., None]
+        x = mel.astype(self.dtype)                      # (B, N, F)
         for i, s in enumerate(self.upsample_factors):
-            x = nn.ConvTranspose(
-                1, (3, 2 * s), strides=(1, s), padding="SAME",
-                dtype=self.dtype, name=f"deconv_{i}")(x)
+            kernel = self.param(
+                f"deconv_{i}_kernel",
+                nn.initializers.lecun_normal(in_axis=-2, out_axis=-1),
+                (3, 2 * s, 1, 1))[..., 0, 0]            # (3, 2s)
+            bias = self.param(f"deconv_{i}_bias", nn.initializers.zeros,
+                              (1,))
+            kernel = kernel.astype(self.dtype)
+            b, n, f = x.shape
+            # conv_transpose(SAME): out[n*s + r] reads input frames
+            # n + m_r and n + m_r + 1 with kernel taps j_r, j_r + s
+            pad_lo = (3 * s - 2) // 2
+            xpad = jnp.pad(x, ((0, 0), (2, 2), (1, 1)))
+            phases = []
+            for r in range(s):
+                j0 = (pad_lo - r) % s
+                m0 = (r - pad_lo + j0) // s
+                acc = jnp.zeros((b, n, f), self.dtype)
+                for t in range(2):
+                    for dh in range(3):
+                        acc = acc + (xpad[:, 2 + m0 + t:2 + m0 + t + n,
+                                          dh:dh + f]
+                                     * kernel[dh, j0 + t * s])
+                phases.append(acc)
+            y = jnp.stack(phases, axis=2)               # (B, N, s, F)
+            x = y.reshape(b, n * s, f) + bias[0].astype(self.dtype)
             x = nn.leaky_relu(x, negative_slope=0.4)
-        x = x.squeeze(-1).transpose(0, 2, 1)   # (B, T_upsampled, C_mel)
         return x
 
 
 class WaveFlowResidualBlock(nn.Module):
     """Gated 2D-conv layer, causal in height, dilated in width
-    (reference waveflow.py:228-296)."""
+    (reference waveflow.py:228-296).
+
+    The conv itself is declared VALID; causal height padding and SAME
+    width padding are applied explicitly by the callers, so the same
+    parameters serve both the full-grid training forward and the
+    one-row-per-step ``step`` used by the sampling scan (the TPU analog
+    of the reference's per-layer ring buffers, waveflow.py:248-296).
+    """
     channels: int
     cond_channels: int
     kernel_size: Tuple[int, int] = (3, 3)
     dilation_w: int = 1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, condition):
-        """x (B, h, W, C); condition (B, h, W, C_cond)."""
-        kh, kw = self.kernel_size
-        # causal height padding: output row i sees input rows <= i
-        pad = ((kh - 1, 0),
-               ((kw - 1) * self.dilation_w // 2,
-                (kw - 1) * self.dilation_w // 2))
-        h = nn.Conv(2 * self.channels, (kh, kw),
-                    kernel_dilation=(1, self.dilation_w), padding=pad,
-                    dtype=self.dtype, name="conv")(x)
-        c = nn.Conv(2 * self.channels, (1, 1), dtype=self.dtype,
-                    name="condition_proj")(condition)
-        h = h + c
+    def setup(self):
+        self.conv = nn.Conv(2 * self.channels, self.kernel_size,
+                            kernel_dilation=(1, self.dilation_w),
+                            padding="VALID", dtype=self.dtype)
+        self.condition_proj = nn.Conv(2 * self.channels, (1, 1),
+                                      dtype=self.dtype)
+        self.out_proj = nn.Conv(2 * self.channels, (1, 1),
+                                dtype=self.dtype)
+
+    def _pad_w(self, x):
+        w_pad = (self.kernel_size[1] - 1) * self.dilation_w // 2
+        return jnp.pad(x, ((0, 0), (0, 0), (w_pad, w_pad), (0, 0)))
+
+    def _gate_out(self, h, condition, x_res):
+        h = h + self.condition_proj(condition)
         gate = jnp.tanh(h[..., :self.channels]) * jax.nn.sigmoid(
             h[..., self.channels:])
-        out = nn.Conv(2 * self.channels, (1, 1), dtype=self.dtype,
-                      name="out_proj")(gate)
+        out = self.out_proj(gate)
         res, skip = out[..., :self.channels], out[..., self.channels:]
-        return (x + res) * jnp.sqrt(0.5).astype(x.dtype), skip
+        return (x_res + res) * jnp.sqrt(0.5).astype(res.dtype), skip
+
+    def __call__(self, x, condition):
+        """x (B, h, W, C); condition (B, h, W, C_cond)."""
+        kh = self.kernel_size[0]
+        xp = jnp.pad(self._pad_w(x), ((0, 0), (kh - 1, 0), (0, 0), (0, 0)))
+        return self._gate_out(self.conv(xp), condition, x)
+
+    def step(self, rows, cond_gate_row):
+        """One sampling-scan step in flat row layout.
+
+        rows (B, W, kh*C): this layer's input for the last kh rows,
+        lane-concatenated oldest first (so rows[..., -C:] is the current
+        row); cond_gate_row (B, W, 2C): the PRE-projected conditioning
+        for this row (condition_proj is hoisted out of the scan by the
+        caller — it only depends on mel).  Returns
+        (res_row (B, W, C), skip_row (B, W, C)).
+
+        The single-output-row conv is computed as kw shifted matmuls
+        with the kh height taps folded into the contraction dim
+        ((W, kh*C) @ (kh*C, 2C)): XLA's conv lowering handles the
+        batch-1 / height-kh / long-W shape poorly (same pathology as the
+        PWG stack, parallel_wavegan.py conv1d_taps), and the flat layout
+        avoids materializing per-step 4-D transposes — the sampler is
+        bandwidth-bound on elementwise copies, not matmuls.
+        """
+        kernel = self.conv.variables["params"]["kernel"]  # (kh,kw,C,2C)
+        bias = self.conv.variables["params"]["bias"]
+        kh, kw = self.kernel_size
+        w = rows.shape[1]
+        c2 = kernel.shape[-1]
+        # (kh, kw, C, 2C) -> (kw, kh*C, 2C)
+        kmat = kernel.transpose(1, 0, 2, 3).reshape(kw, -1, c2)
+        acc = None
+        for dw in range(kw):
+            off = (dw - (kw - 1) // 2) * self.dilation_w
+            if off > 0:
+                shifted = jnp.pad(rows, ((0, 0), (0, off), (0, 0))
+                                  )[:, off:]
+            elif off < 0:
+                shifted = jnp.pad(rows, ((0, 0), (-off, 0), (0, 0))
+                                  )[:, :w]
+            else:
+                shifted = rows
+            y = jnp.dot(shifted, kmat[dw],
+                        preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        h = (acc.astype(rows.dtype) + bias + cond_gate_row)
+        gate = jnp.tanh(h[..., :self.channels]) * jax.nn.sigmoid(
+            h[..., self.channels:])
+        okern = self.out_proj.variables["params"]["kernel"][0, 0]
+        obias = self.out_proj.variables["params"]["bias"]
+        out = jnp.dot(gate, okern,
+                      preferred_element_type=jnp.float32).astype(
+                          rows.dtype) + obias
+        res, skip = out[..., :self.channels], out[..., self.channels:]
+        x_cur = rows[..., -self.channels:]
+        return (x_cur + res) * jnp.sqrt(0.5).astype(res.dtype), skip
 
 
 class Flow(nn.Module):
@@ -139,27 +232,62 @@ class Flow(nn.Module):
         return z, logs[:, :-1]
 
     def inverse(self, z, condition):
-        """Sampling direction: z -> x via a scan over rows 1..h-1."""
-        h = z.shape[1]
-        x0 = jnp.zeros_like(z).at[:, 0].set(z[:, 0])
-        # nn.scan over a module method so the conv params are shared
-        scan = nn.scan(lambda mdl, c, i: mdl._inverse_row(c, i, z, condition),
-                       variable_broadcast="params",
-                       split_rngs={"params": False},
-                       in_axes=0, out_axes=0)
-        x, _ = scan(self, x0, jnp.arange(1, h))
-        return x
+        """Sampling direction: z -> x, one row per scan step.
 
-    def _inverse_row(self, x, i, z, condition):
-        """Fill row i of x given rows < i (height-causal conv => the
-        (logs, b) at row i-1 only read valid rows)."""
-        logs, b = self._net(x, condition)
-        logs_row = jax.lax.dynamic_slice_in_dim(logs, i - 1, 1, axis=1)
-        b_row = jax.lax.dynamic_slice_in_dim(b, i - 1, 1, axis=1)
-        z_row = jax.lax.dynamic_slice_in_dim(z, i, 1, axis=1)
-        row = (z_row - b_row) * jnp.exp(-logs_row)
-        x = jax.lax.dynamic_update_slice(x, row, (0, i, 0))
-        return x, None
+        Carries a (kh-1)-row input buffer per resnet layer (the explicit-
+        state equivalent of the reference's ring buffers,
+        waveflow.py:496-557), so each step computes exactly ONE new row
+        through the stack instead of re-running the conv net on the full
+        grid (which would be n_group x redundant compute).
+        """
+        b, h, w = z.shape
+        kh = self.kernel_size[0]
+        c = self.channels
+        x0 = z[:, 0]                                  # row 0 passes through
+        bufs = tuple(jnp.zeros((b, w, (kh - 1) * c), self.dtype)
+                     for _ in range(self.n_layers))
+        carry = (x0, bufs)
+        # step i consumes (z row i, condition row i-1); the per-layer
+        # conditioning projections happen inside the step (hoisting them
+        # out materializes an (L, h, W, 2C) tensor whose HBM traffic
+        # costs more than the in-loop (W,Cc)@(Cc,2C) dots)
+        xs = (z[:, 1:].transpose(1, 0, 2),
+              condition[:, :-1].transpose(1, 0, 2, 3))  # (h-1, B, W, Cc)
+
+        scan = nn.scan(Flow._inverse_step, variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=0, out_axes=1)
+        _, rows = scan(self, carry, xs)               # (B, h-1, W)
+        return jnp.concatenate([z[:, :1], rows], axis=1)
+
+    def _inverse_step(self, carry, xs):
+        """Compute (logs, b) at the previous row through per-layer
+        buffers, then invert the affine transform for the current row."""
+        x_prev, bufs = carry
+        z_row, cond_row = xs
+        ikern = self.input_proj.variables["params"]["kernel"][0, 0]
+        ibias = self.input_proj.variables["params"]["bias"]
+        h_row = x_prev[..., None] * ikern[0] + ibias   # (B, W, C)
+        skips = 0.0
+        new_bufs = []
+        c = self.channels
+        for block, buf in zip(self.resnet, bufs):
+            rows = jnp.concatenate([buf, h_row], axis=-1)  # (B, W, kh*C)
+            new_bufs.append(rows[..., c:])
+            ck = block.condition_proj.variables["params"]["kernel"][0, 0]
+            cb = block.condition_proj.variables["params"]["bias"]
+            cond_g = jnp.dot(cond_row, ck,
+                             preferred_element_type=jnp.float32).astype(
+                                 z_row.dtype) + cb
+            h_row, skip = block.step(rows, cond_g)
+            skips = skips + skip
+        skips = skips * jnp.sqrt(1.0 / self.n_layers).astype(z_row.dtype)
+        okern = self.output_proj.variables["params"]["kernel"][0, 0]
+        obias = self.output_proj.variables["params"]["bias"]
+        out = jnp.dot(skips, okern) + obias            # (B, W, 2)
+        logs, bias = out[..., 0], out[..., 1]
+        x_new = (z_row - bias) * jnp.exp(-logs)
+        return (x_new, tuple(new_bufs)), x_new
 
 
 def _permute_rows(x: jnp.ndarray, flow_index: int, n_flows: int,

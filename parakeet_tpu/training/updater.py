@@ -66,12 +66,21 @@ class StandardUpdater(UpdaterBase):
         ``batch_sampler`` has ``set_epoch`` it is called on epoch renewal
         (the DistributedBatchSampler semantics, standard_updater.py:162-168).
     reports_prefix : prepended to metric names in report().
+    mesh : optional jax.sharding.Mesh with a "data" axis.  When given,
+        the train state is replicated once and every batch is sharded on
+        its leading axis — the wrap-free data-parallel surface replacing
+        the reference's paddle.DataParallel + DistributedBatchSampler
+        (SURVEY §2.9); XLA inserts the gradient all-reduce over ICI.
     """
 
     def __init__(self, step_fn: Callable, train_state: TrainState,
-                 dataloader, reports_prefix: str = "train/"):
+                 dataloader, reports_prefix: str = "train/", mesh=None):
         super().__init__()
         self.step_fn = step_fn
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            train_state = replicate(train_state, mesh)
         self.train_state = train_state
         self.dataloader = dataloader
         self.reports_prefix = reports_prefix
@@ -103,6 +112,9 @@ class StandardUpdater(UpdaterBase):
         self.state.iteration += 1
 
     def update_core(self, batch) -> None:
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
         self.train_state, metrics = self.step_fn(self.train_state, batch)
         self.last_metrics = metrics
         for name, value in metrics.items():

@@ -56,6 +56,9 @@ def main():
     parser.add_argument("--opts", nargs="*", default=[])
     parser.add_argument("--device", default="tpu",
                         choices=("cpu", "tpu"))
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel devices (0 = single device; "
+                             "batch_size must be divisible by this)")
     args = parser.parse_args()
     set_device(args.device)
 
@@ -89,7 +92,11 @@ def main():
                                      **cfg.get("updater", {}))
     eval_step = make_fs2_eval_step(model, **cfg.get("updater", {}))
 
-    updater = StandardUpdater(train_step, state, train_dl)
+    mesh = None
+    if args.dp:
+        from parakeet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=args.dp)
+    updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
     trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
                       out=args.output_dir)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),

@@ -76,6 +76,9 @@ def main():
     parser.add_argument("--opts", nargs="*", default=[])
     parser.add_argument("--device", default="tpu",
                         choices=("cpu", "tpu"))
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel devices (0 = single device; "
+                             "batch_size must be divisible by this)")
     args = parser.parse_args()
     set_device(args.device)
 
@@ -97,7 +100,11 @@ def main():
     train_step = make_waveflow_train_step(model, tx, sigma=sigma)
     eval_step = make_waveflow_eval_step(model, sigma=sigma)
 
-    updater = StandardUpdater(train_step, state, train_dl)
+    mesh = None
+    if args.dp:
+        from parakeet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=args.dp)
+    updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
     trainer = Trainer(updater, (cfg.max_iteration, "iteration"),
                       out=args.output_dir, log_interval=100)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),

@@ -1,0 +1,33 @@
+"""StandardUpdater data-parallel path: mesh replication + batch sharding
+(the --dp recipe flag; replaces the reference's paddle.DataParallel wrap,
+SURVEY §2.9)."""
+import jax
+import numpy as np
+
+from parakeet_tpu import training as T
+from parakeet_tpu.models import (FastSpeech2, init_fs2_train_state,
+                                 make_fs2_train_step)
+from parakeet_tpu.parallel.mesh import make_mesh
+from parakeet_tpu.training.updater import StandardUpdater
+
+from test_models_train import fs2_batch, tiny_fs2
+
+
+def test_standard_updater_dp_mesh():
+    assert jax.device_count() == 8
+    mesh = make_mesh(data=8)
+    model = tiny_fs2()
+    tx = T.build_optimizer("adam", 1e-3)
+    batch = fs2_batch(b=16)
+    state = init_fs2_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_fs2_train_step(model, tx)
+
+    batches = [jax.tree_util.tree_map(np.asarray, fs2_batch(b=16, seed=s))
+               for s in range(3)]
+    updater = StandardUpdater(step, state, batches, mesh=mesh)
+    for _ in range(3):
+        updater.update()
+    assert updater.state.iteration == 3
+    assert np.isfinite(float(updater.last_metrics["loss"]))
+    leaf = jax.tree_util.tree_leaves(updater.train_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
