@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Autoregressive acoustic-model decode benchmarks.
+
+The reference bounds Tacotron2 at max_decoder_steps=1000 AR steps per
+utterance (reference: parakeet/models/tacotron2.py:474) and
+TransformerTTS at 500 x reduction_factor.  This measures full
+fixed-length scans (the jit-compiled decode programs) and reports
+milliseconds per decoder step — the latency-critical inner loop of
+interactive TTS.
+
+Usage: python benchmarks/ar_decode.py [--steps 500] [--iters 3]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_tacotron2(steps, iters):
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import Tacotron2
+
+    model = Tacotron2(vocab_size=80)
+    text = jnp.asarray(np.random.default_rng(0).integers(
+        1, 80, (1, 96)).astype(np.int64))
+    tl = jnp.asarray(np.array([96], np.int64))
+    v = jax.jit(lambda k, d: model.init(
+        {"params": k, "dropout": d}, text, tl, max_decoder_steps=8,
+        method=Tacotron2.infer))(jax.random.PRNGKey(0),
+                                 jax.random.PRNGKey(1))
+
+    @jax.jit
+    def infer(v, text, tl):
+        # prenet dropout stays ON at inference (the Tacotron2 convention,
+        # reference tacotron2.py:378-419)
+        out = model.apply(v, text, tl, max_decoder_steps=steps,
+                          rngs={"dropout": jax.random.PRNGKey(2)},
+                          method=Tacotron2.infer)
+        return out["mel_outputs_postnet"], out["lengths"]
+
+    mel, lengths = infer(v, text, tl)
+    assert bool(np.isfinite(np.asarray(mel)).all())
+    tic = time.perf_counter()
+    t = text
+    for i in range(iters):
+        mel, lengths = infer(v, (t + i) % 79 + 1, tl)
+    np.asarray(mel)
+    return (time.perf_counter() - tic) / iters / steps * 1000
+
+
+def bench_transformer_tts(steps, iters):
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import TransformerTTS
+
+    model = TransformerTTS(idim=80, odim=80)
+    text = jnp.asarray(np.random.default_rng(0).integers(
+        1, 80, (1, 96)).astype(np.int64))
+    tl = jnp.asarray(np.array([96], np.int64))
+    v = jax.jit(lambda k, d: model.init(
+        {"params": k, "dropout": d}, text, tl, max_decoder_steps=8,
+        method=TransformerTTS.inference))(jax.random.PRNGKey(0),
+                                          jax.random.PRNGKey(1))
+
+    @jax.jit
+    def infer(v, text, tl):
+        out = model.apply(v, text, tl, max_decoder_steps=steps,
+                          rngs={"dropout": jax.random.PRNGKey(2)},
+                          method=TransformerTTS.inference)
+        return out["mel"], out["lengths"]
+
+    mel, lengths = infer(v, text, tl)
+    assert bool(np.isfinite(np.asarray(mel)).all())
+    tic = time.perf_counter()
+    t = text
+    for i in range(iters):
+        mel, lengths = infer(v, (t + i) % 79 + 1, tl)
+    np.asarray(mel)
+    return (time.perf_counter() - tic) / iters / steps * 1000
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--models", nargs="+",
+                        default=["tacotron2", "transformer_tts"])
+    args = parser.parse_args()
+
+    for name in args.models:
+        fn = {"tacotron2": bench_tacotron2,
+              "transformer_tts": bench_transformer_tts}[name]
+        ms = fn(args.steps, args.iters)
+        print(json.dumps({"metric": f"{name}_decode_ms_per_step",
+                          "value": round(ms, 4), "unit": "ms/step"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,7 @@ def main():
     def infer(params, text, text_lengths):
         out = model.apply({"params": params}, text, text_lengths,
                           max_decoder_steps=args.max_decoder_steps,
+                          rngs={"dropout": jax.random.PRNGKey(0)},
                           method=Tacotron2.infer)
         return out["mel_outputs_postnet"], out["lengths"]
 

@@ -113,6 +113,7 @@ def main():
         out = model.apply({"params": params}, text, text_lengths,
                           global_condition=spk_emb,
                           max_decoder_steps=args.max_decoder_steps,
+                          rngs={"dropout": jax.random.PRNGKey(0)},
                           method=Tacotron2.infer)
         return out["mel_outputs_postnet"], out["lengths"]
 
