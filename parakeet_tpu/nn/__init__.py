@@ -1,4 +1,6 @@
 """Reusable flax.linen network modules."""
+from .conv import Conv1dBatchNorm, Conv1dCell, GLU
+from .lightconv import LightweightConvolution
 from .postnet import Postnet, Prenet
 from .predictors import (DurationPredictor, VariancePredictor,
                          VarianceEmbedding, duration_predictor_loss)
@@ -9,6 +11,7 @@ from .transformer import (DecoderLayer, EncoderLayer, MultiHeadAttention,
 
 __all__ = [
     "Postnet", "Prenet",
+    "Conv1dCell", "Conv1dBatchNorm", "GLU", "LightweightConvolution",
     "DurationPredictor", "VariancePredictor", "VarianceEmbedding",
     "duration_predictor_loss",
     "MultiHeadAttention", "PositionwiseFeedForward", "MultiLayerConv",

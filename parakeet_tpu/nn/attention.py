@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.masking import masked_fill
@@ -34,9 +35,15 @@ __all__ = [
 _NEG_INF = -1e9
 
 
-def scaled_dot_product_attention(q, k, v, mask=None, *, dropout_fn=None):
+def scaled_dot_product_attention(q, k, v, mask=None, *, dropout_fn=None,
+                                 drop_n_heads: int = 0, rng=None):
     """q (..., Tq, d), k (..., Tk, d), v (..., Tk, dv); mask broadcastable
-    to (..., Tq, Tk) with True = keep (reference attention.py:22-64)."""
+    to (..., Tq, Tk) with True = keep (reference attention.py:22-64).
+
+    ``drop_n_heads`` > 0 zeroes that many random heads per example
+    (training regularizer; expects a leading (B, H, ...) layout and an
+    ``rng``; reference attention.py:65-108 drop_head).
+    """
     d = q.shape[-1]
     scores = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(
         jnp.asarray(d, q.dtype))
@@ -46,6 +53,16 @@ def scaled_dot_product_attention(q, k, v, mask=None, *, dropout_fn=None):
     if dropout_fn is not None:
         weights = dropout_fn(weights)
     out = jnp.einsum("...qk,...kd->...qd", weights, v)
+    if drop_n_heads > 0:
+        if rng is None:
+            raise ValueError("drop_n_heads requires an rng")
+        b, h = out.shape[0], out.shape[1]
+        # keep the (h - drop_n_heads) highest of h uniform draws per row
+        scores_h = jax.random.uniform(rng, (b, h))
+        kth = jnp.sort(scores_h, axis=1)[:, drop_n_heads - 1:drop_n_heads]
+        keep = (scores_h > kth).astype(out.dtype)
+        scale = h / max(h - drop_n_heads, 1)
+        out = out * keep[:, :, None, None] * scale
     return out, weights
 
 

@@ -1,4 +1,5 @@
 """Device-side (JAX/Pallas) compute ops."""
+from .geometry import shuffle_dim
 from .length_regulator import gaussian_upsample, length_regulate
 from .losses import (attention_guide, guided_attention_loss, masked_l1_loss,
                      masked_l2_loss, masked_softmax_cross_entropy,
@@ -15,6 +16,7 @@ from .stft_loss import (MultiResolutionSTFTLoss, log_stft_magnitude_loss,
                         spectral_convergence_loss, stft_loss)
 
 __all__ = [
+    "shuffle_dim",
     "length_regulate", "gaussian_upsample",
     "weighted_mean", "masked_l1_loss", "masked_l2_loss",
     "masked_softmax_cross_entropy", "stop_token_bce", "attention_guide",

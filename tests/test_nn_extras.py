@@ -1,0 +1,85 @@
+"""Conv1dCell step==parallel parity, LightweightConvolution, GLU,
+shuffle_dim, drop_head (reference modules: conv.py:23-135, lightconv.py,
+glu, geometry.py:18, attention.py drop_head)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parakeet_tpu.nn import Conv1dBatchNorm, Conv1dCell, GLU, \
+    LightweightConvolution
+from parakeet_tpu.nn.attention import scaled_dot_product_attention
+from parakeet_tpu.ops import shuffle_dim
+
+
+def test_conv1d_cell_step_matches_parallel():
+    cell = Conv1dCell(features=6, kernel_size=3, dilation=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 12, 4)).astype(np.float32))
+    v = cell.init(jax.random.PRNGKey(0), x)
+    y_par = cell.apply(v, x)
+
+    state = cell.apply(v, 2, 4, method=Conv1dCell.initial_state)
+    ys = []
+    for t in range(x.shape[1]):
+        state, y = cell.apply(v, state, x[:, t], method=Conv1dCell.step)
+        ys.append(y)
+    y_seq = jnp.stack(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_seq), np.asarray(y_par),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv1d_batchnorm_shapes():
+    m = Conv1dBatchNorm(features=8, kernel_size=5)
+    x = jnp.zeros((2, 10, 4))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 10, 8)
+    y2, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
+
+
+def test_glu():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (3, 4, 8)).astype(np.float32))
+    y = GLU().apply({}, x)
+    np.testing.assert_allclose(
+        np.asarray(y),
+        np.asarray(x[..., :4] * jax.nn.sigmoid(x[..., 4:])), rtol=1e-6)
+
+
+def test_lightconv_shapes_and_mask():
+    m = LightweightConvolution(wshare=2, n_feat=8, kernel_size=5)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 9, 8)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, x, x)
+    y = m.apply(v, x, x, x)
+    assert y.shape == x.shape
+    causal = LightweightConvolution(wshare=2, n_feat=8, kernel_size=5,
+                                    use_kernel_mask=True)
+    vc = causal.init(jax.random.PRNGKey(0), x, x, x)
+    # causal: output at t must not depend on inputs after t
+    y1 = causal.apply(vc, x, x, x)
+    x2 = x.at[:, -1].set(100.0)
+    y2 = causal.apply(vc, x2, x2, x2)
+    np.testing.assert_allclose(np.asarray(y1[:, :-1]),
+                               np.asarray(y2[:, :-1]), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_shuffle_dim():
+    x = jnp.arange(12).reshape(3, 4)
+    y = shuffle_dim(x, 0, perm=[2, 0, 1])
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[[2, 0, 1]])
+    z = shuffle_dim(x, 1, rng=jax.random.PRNGKey(0))
+    assert sorted(np.asarray(z)[0].tolist()) == sorted(
+        np.asarray(x)[0].tolist())
+
+
+def test_drop_head():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((4, 8, 6, 16)).astype(np.float32))
+    out, _ = scaled_dot_product_attention(q, q, q, drop_n_heads=2,
+                                          rng=jax.random.PRNGKey(1))
+    # exactly 2 of 8 heads zeroed per example
+    zeroed = (np.abs(np.asarray(out)).sum(axis=(2, 3)) == 0).sum(axis=1)
+    assert (zeroed == 2).all()
