@@ -1,6 +1,8 @@
 """Mesh/sharding helpers for SPMD data (and tensor) parallelism."""
-from .mesh import (data_parallel_sharding, local_batch_slice, make_mesh,
-                   process_index, rank_zero_only, replicate, shard_batch)
+from .mesh import (data_parallel_sharding, fs2_tp_spec, local_batch_slice,
+                   make_mesh, process_index, rank_zero_only, replicate,
+                   shard_batch, shard_params_by_rule)
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
-           "rank_zero_only", "process_index", "local_batch_slice"]
+           "rank_zero_only", "process_index", "local_batch_slice",
+           "fs2_tp_spec", "shard_params_by_rule"]

@@ -20,7 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
-           "rank_zero_only", "process_index", "local_batch_slice"]
+           "rank_zero_only", "process_index", "local_batch_slice",
+           "fs2_tp_spec", "shard_params_by_rule"]
 
 
 def make_mesh(data: int = -1, model: int = 1,
@@ -80,3 +81,42 @@ def local_batch_slice(global_batch_size: int) -> slice:
     per_host = global_batch_size // jax.process_count()
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
+
+
+# ---- tensor parallelism -----------------------------------------------
+
+def fs2_tp_spec(path: str, leaf) -> P:
+    """PartitionSpec for a FastSpeech2 (ESPnet-transformer) param by its
+    '/'-joined path: attention heads and FFN hidden dims shard over the
+    'model' axis, everything else is replicated.
+
+    Megatron-style column/row split per transformer block: q/k/v project
+    onto sharded heads (column), the out-projection contracts them back
+    (row, XLA inserts the all-reduce); FFN Conv_0 expands onto the
+    sharded hidden dim, Conv_1 contracts it.
+    """
+    if "self_attn" in path:
+        if path.endswith(("q/kernel", "k/kernel", "v/kernel")):
+            return P(None, "model", None)     # (in, heads, dk)
+        if path.endswith(("q/bias", "k/bias", "v/bias")):
+            return P("model", None)           # (heads, dk)
+        if path.endswith("out/kernel"):
+            return P("model", None, None)     # (heads, dk, feat)
+    if "MultiLayerConv" in path:
+        if path.endswith("Conv_0/kernel"):
+            return P(None, None, "model")     # (k, in, hidden)
+        if path.endswith("Conv_0/bias"):
+            return P("model")
+        if path.endswith("Conv_1/kernel"):
+            return P(None, "model", None)     # (k, hidden, in)
+    return P()
+
+
+def shard_params_by_rule(params, mesh: Mesh, rule) -> dict:
+    """device_put each param with the PartitionSpec from rule(path, leaf)."""
+
+    def place(path_entries, leaf):
+        path = "/".join(getattr(p, "key", str(p)) for p in path_entries)
+        return jax.device_put(leaf, NamedSharding(mesh, rule(path, leaf)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
