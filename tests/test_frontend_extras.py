@@ -1,0 +1,52 @@
+"""Pinyin frontends, zh text-normalization rules, scheduler, device util
+(reference: frontend/pinyin.py, zh_normalization/*, utils/scheduler.py)."""
+import pytest
+
+from parakeet_tpu.frontend import ParakeetPinyin, ParakeetPinyinWithTone
+from parakeet_tpu.frontend.zh_normalization.text_normlization import \
+    TextNormalizer
+from parakeet_tpu.utils.scheduler import (Constant, PieceWise, StepWise,
+                                          make_scheduler)
+
+
+def test_pinyin_frontend_roundtrip():
+    f = ParakeetPinyin()
+    phones = f.phoneticize("你好")
+    assert phones == ["n", "i", "h", "au"]
+    ids = f.numericalize(phones)
+    assert f.reverse(ids) == phones
+    assert f("你好") == ids
+    assert f.vocab_size > 50
+
+
+def test_pinyin_with_tone_start_end():
+    f = ParakeetPinyinWithTone()
+    phones = f.phoneticize("你好", add_start_end=True)
+    assert phones[0] == "<s>" and phones[-1] == "</s>"
+    assert any(p[-1].isdigit() for p in phones[1:-1])
+
+
+@pytest.mark.parametrize("raw,expect_substr", [
+    ("今天是2021年1月1日", "二零二一年"),
+    ("气温-5°C", "零下五"),
+    ("涨幅3.5%", "百分之三点五"),
+    ("电话010-66122197", "幺"),
+])
+def test_zh_textnorm_rules(raw, expect_substr):
+    tn = TextNormalizer()
+    out = "".join(tn.normalize(raw))
+    assert expect_substr in out, f"{raw!r} -> {out!r}"
+
+
+def test_schedulers():
+    assert Constant(0.5)(123) == 0.5
+    pw = PieceWise([(0, 0.0), (10, 1.0), (20, 3.0)])
+    assert pw(0) == 0.0 and pw(5) == 0.5 and pw(15) == 2.0 and pw(99) == 3.0
+    sw = StepWise([(0, 1.0), (10, 0.1), (20, 0.01)])
+    assert sw(5) == 1.0 and sw(10) == 0.1 and sw(25) == 0.01
+    assert isinstance(make_scheduler("constant", 2.0), Constant)
+
+
+def test_timeline_import():
+    from parakeet_tpu.utils import timeline
+    assert callable(timeline.xplane_to_chrome_trace)
