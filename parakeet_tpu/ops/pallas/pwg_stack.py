@@ -65,7 +65,8 @@ def fused_stack_supported(residual_channels: int, gate_channels: int,
 
 
 def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
-                  x_out, skip_out, xdma, cdma, xbuf, sbuf, sem_x, sem_c,
+                  x_next, skip_out, xdma, cdma, xbuf, sbuf,
+                  sem_x, sem_c,
                   *, dils, cr: int, ca: int, t_signal: int):
     """One group of len(dils) gated residual layers on an extended window.
 
@@ -77,28 +78,41 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
     wso: (Lg, cr, 2cr) bf16    [Wskip | Wout] stacked on output
     bt:  (Lg, 1, 2cr) f32      gate bias
     bso: (Lg, 1, 2cr) f32      [skip bias | out bias]
-    x_out: (1, BLOCK, cr) bf16; skip_out: (1, BLOCK, cr) f32
+    x_next: (1, BLOCK, 128) bf16 output block at BLOCK index f+1 of the
+    (B, (nblk+2)*BLOCK, 128) padded array — the next group's input is
+    written directly in its padded layout (pipelined by the BlockSpec
+    machinery), so the inter-group lane-padding copies never
+    materialize in XLA.  Pad/halo regions of that array are UNWRITTEN
+    garbage; loads select-mask out-of-signal rows and slice lanes
+    [:cr], so garbage never reaches the math.
+    skip_out: (1, BLOCK, cr) f32
     scratch: xdma/cdma (R, 128) bf16 DMA landing buffers, xbuf (R, cr)
     f32, sbuf (R, cr) f32, sem_x/sem_c DMA semaphores
     """
     r = _BLOCK + 2 * _HALO
     bb = pl.program_id(0)
     f = pl.program_id(1)
-    row0 = f * _BLOCK           # ext window start in the padded array
+    # the padded array leads with one full BLOCK; ext starts HALO before
+    # the center block (multiple_of: Mosaic's divisibility prover cannot
+    # reduce the symbolic (f+1)*BLOCK - HALO expression itself)
+    row0 = pl.multiple_of(f * _BLOCK + (_BLOCK - _HALO), 256)
 
     cp_x = pltpu.make_async_copy(x_hbm.at[bb, pl.ds(row0, r)], xdma, sem_x)
     cp_c = pltpu.make_async_copy(c_hbm.at[bb, pl.ds(row0, r)], cdma, sem_c)
     cp_x.start()
     cp_c.start()
-    cp_x.wait()
-    cp_c.wait()
-    xbuf[:] = xdma[:, :cr].astype(jnp.float32)
-    sbuf[:] = jnp.zeros((r, cr), jnp.float32)
 
     # global signal row of ext row i is f*BLOCK - HALO + i
     gstart = f * _BLOCK - _HALO
     rows = gstart + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     mask = ((rows >= 0) & (rows < t_signal)).astype(jnp.float32)
+
+    cp_x.wait()
+    cp_c.wait()
+    # mask at load: the x_next buffers carry garbage in halo/pad regions
+    # (select, not multiply — the garbage may be NaN/inf)
+    xbuf[:] = jnp.where(mask > 0, xdma[:, :cr].astype(jnp.float32), 0.0)
+    sbuf[:] = jnp.zeros((r, cr), jnp.float32)
 
     cb = cdma[:, :ca]
 
@@ -119,7 +133,7 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
         sbuf[:] = sbuf[:] + so[:, :cr]
         xbuf[:] = (so[:, cr:] + x) * (math.sqrt(0.5) * mask)
 
-    x_out[0] = xbuf[_HALO:_HALO + _BLOCK].astype(jnp.bfloat16)
+    x_next[0, :, :cr] = xbuf[_HALO:_HALO + _BLOCK].astype(jnp.bfloat16)
     skip_out[0] = sbuf[_HALO:_HALO + _BLOCK]
 
 
@@ -146,12 +160,13 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
                   wspec((lg, ca, 2 * cr)), wspec((lg, cr, 2 * cr)),
                   wspec((lg, 1, 2 * cr)), wspec((lg, 1, 2 * cr))],
         out_specs=[
-            pl.BlockSpec((1, blk, cr), lambda bb, f: (bb, f, 0),
+            pl.BlockSpec((1, blk, 128), lambda bb, f: (bb, f + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, cr), lambda bb, f: (bb, f, 0),
                          memory_space=pltpu.VMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, (nblk + 2) * blk, 128),
+                                 jnp.bfloat16),
             jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((r, 128), jnp.bfloat16),
                         pltpu.VMEM((r, 128), jnp.bfloat16),
@@ -199,20 +214,21 @@ def fused_residual_stack(x, c, weights, *, dilations, stacks):
     interpret = jax.default_backend() not in ("tpu", "axon")
 
     def pad_sig(a):
-        # lane-pad to 128 channels: Mosaic DMA slices must be 128-aligned
-        a = jnp.pad(a, ((0, 0), (_HALO, pad_t - t + _HALO),
+        # lane-pad to 128 channels (Mosaic DMA slices must be
+        # 128-aligned); one full leading BLOCK so the kernel's padded
+        # x output lands on block-aligned offsets
+        a = jnp.pad(a, ((0, 0), (_BLOCK, pad_t - t + _BLOCK),
                         (0, 128 - a.shape[-1])))
         return a.astype(jnp.bfloat16)
 
     c_pad = pad_sig(c)
-    xg = x
+    x_pad = pad_sig(x)
     skips = None
     for g in range(stacks):
         sl = slice(g * lg, (g + 1) * lg)
         wg = (w02[sl], w1[sl], wa[sl], wso[sl], bt[sl], bso[sl])
-        x_pad = pad_sig(xg)
-        xg, sk = _run_group(x_pad, c_pad, wg, dilations[sl], b=b,
-                            nblk=nblk, cr=cr, ca=ca, t_signal=t,
-                            interpret=interpret)
+        x_pad, sk = _run_group(x_pad, c_pad, wg, dilations[sl], b=b,
+                               nblk=nblk, cr=cr, ca=ca, t_signal=t,
+                               interpret=interpret)
         skips = sk if skips is None else skips + sk
-    return xg[:, :t], skips[:, :t]
+    return x_pad[:, _BLOCK:_BLOCK + t, :cr], skips[:, :t]
