@@ -8,7 +8,8 @@ from .pwg_updater import (init_pwg_train_state, make_pwg_eval_step,
                           make_pwg_train_step)
 from .ge2e_updater import init_ge2e_train_state, make_ge2e_train_step
 from .lstm_speaker_encoder import (LSTMSpeakerEncoder, compute_eer,
-                                   ge2e_loss, scale_wb_gradients,
+                                   embed_utterance, ge2e_loss,
+                                   partial_slices, scale_wb_gradients,
                                    similarity_matrix)
 from .speedyspeech import SpeedySpeech, speedyspeech_loss
 from .speedyspeech_updater import (init_speedyspeech_train_state,
@@ -50,6 +51,7 @@ __all__ = [
     "waveflow_loss", "init_waveflow_train_state",
     "make_waveflow_train_step", "make_waveflow_eval_step",
     "LSTMSpeakerEncoder", "ge2e_loss", "similarity_matrix",
+    "embed_utterance", "partial_slices",
     "scale_wb_gradients", "compute_eer",
     "init_ge2e_train_state", "make_ge2e_train_step",
 ]

@@ -130,3 +130,39 @@ def compute_eer(sim: np.ndarray, n_speakers: int) -> float:
     fnr = fn / np.maximum(fn + tp, 1)
     idx = np.argmin(np.abs(fpr - fnr))
     return float((fpr[idx] + fnr[idx]) / 2)
+
+
+def partial_slices(n_frames: int, partial_frames: int, hop: int):
+    """Start indices of partial windows covering an utterance (with a
+    tail window so the final frames are embedded too; reference
+    speaker_encoder.embed_utterance partial coverage)."""
+    if n_frames <= partial_frames:
+        return [0]
+    starts = list(range(0, n_frames - partial_frames + 1, hop))
+    if starts[-1] + partial_frames < n_frames:
+        starts.append(n_frames - partial_frames)
+    return starts
+
+
+def embed_utterance(model, params, mel, *, partial_frames: int = 160,
+                    hop: int = 80, embed_fn=None):
+    """Utterance mel (T, n_mels) -> L2-normalized (d,) embedding.
+
+    Splits into overlapping partials (padded if shorter), embeds each,
+    and returns the normalized mean — the single source of truth shared
+    by the GE2E exporter and the voice-cloning synthesizer.  Pass a
+    jitted ``embed_fn(params, partials)`` to reuse a compile cache.
+    """
+    import numpy as np
+
+    mel = np.asarray(mel, np.float32)
+    if mel.shape[0] < partial_frames:
+        mel = np.pad(mel, ((0, partial_frames - mel.shape[0]), (0, 0)))
+    starts = partial_slices(mel.shape[0], partial_frames, hop)
+    partials = np.stack([mel[s:s + partial_frames] for s in starts])
+    if embed_fn is None:
+        def embed_fn(p, x):
+            return model.apply({"params": p}, x)
+    embeds = np.asarray(embed_fn(params, jnp.asarray(partials)))
+    mean = embeds.mean(axis=0)
+    return mean / max(np.linalg.norm(mean), 1e-12)

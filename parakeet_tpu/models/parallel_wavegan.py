@@ -293,8 +293,9 @@ class ResidualStack(nn.Module):
         from ..ops.pallas.pwg_stack import (fused_residual_stack,
                                             fused_stack_supported)
         supported = (c is not None and self.aux_channels is not None
-                     and fused_stack_supported(cr, cg, cs, k, L,
-                                               self.stacks))
+                     and fused_stack_supported(
+                         cr, cg, cs, k, L, self.stacks,
+                         aux_channels=self.aux_channels))
         use_pallas = False
         if self.impl == "pallas":
             if not supported:
@@ -424,6 +425,20 @@ class PWGGenerator(nn.Module):
                         dtype=self.dtype, name="last_conv_1")(h)
 
 
+_PWG_APPLY_CACHE: Dict[int, Any] = {}
+
+
+def _pwg_apply(generator, variables, noise, mel):
+    """Per-generator-instance jitted apply (modules built from YAML carry
+    list fields, so they are not hashable static args; the strong ref in
+    the cache keeps id() stable)."""
+    entry = _PWG_APPLY_CACHE.get(id(generator))
+    if entry is None or entry[0] is not generator:
+        entry = (generator, jax.jit(generator.apply))
+        _PWG_APPLY_CACHE[id(generator)] = entry
+    return entry[1](variables, noise, mel)
+
+
 def pwg_inference(generator: PWGGenerator, variables, mel, rng=None,
                   noise=None):
     """Single/batched mel -> waveform.
@@ -431,7 +446,10 @@ def pwg_inference(generator: PWGGenerator, variables, mel, rng=None,
     ``mel``: (T', aux) or (B, T', aux) log-mel (already normalizer-scaled).
     Pads ``aux_context_window`` frames on each side in replicate mode, as
     the reference does at inference (parallel_wavegan.py:498-520), so the
-    output has exactly T' * upsample_factor samples.
+    output has exactly T' * upsample_factor samples.  The generator apply
+    is jit-cached (flax modules hash by definition, so repeated calls for
+    the same padded shape reuse the compiled program; eager dispatch of
+    the 30-layer stack costs seconds per utterance on a remote backend).
     """
     if mel.ndim == 2:
         mel = mel[None]
@@ -443,7 +461,7 @@ def pwg_inference(generator: PWGGenerator, variables, mel, rng=None,
     t_out = (mel.shape[1] - 2 * w) * generator.upsample_factor
     if noise is None:
         noise = jax.random.normal(rng, (mel.shape[0], t_out, 1))
-    wav = generator.apply(variables, noise, mel)
+    wav = _pwg_apply(generator, variables, noise, mel)
     return (wav[0, :, 0] if squeeze else wav[..., 0])
 
 

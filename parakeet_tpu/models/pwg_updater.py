@@ -94,8 +94,14 @@ def make_pwg_train_step(generator, discriminator, gen_tx, disc_tx, *,
         # ---------------- discriminator update ----------------
         def disc_update(operand):
             d_params, d_opt = operand
+            # same training-mode forward as the generator update
+            # (deterministic=False: dropout on AND the differentiable
+            # XLA stack path — D must see the same fake distribution G
+            # was optimized against, not a bf16 Pallas variant)
             fake = jax.lax.stop_gradient(
-                generator.apply({"params": g_params}, noise, mel))
+                generator.apply({"params": g_params}, noise, mel,
+                                deterministic=False,
+                                rngs={"dropout": drop_rng}))
 
             def d_loss_fn(dp):
                 real_logits = discriminator.apply({"params": dp},

@@ -49,13 +49,14 @@ class LightweightConvolution(nn.Module):
                                        1e-8, None)
 
         # depthwise shared conv: channel c uses kernel c % wshare
+        # (tile, not repeat: ESPnet's view(-1, H, T) interleaves heads)
         if mask is not None:
             x = x * mask.transpose(0, 2, 1).astype(x.dtype)
         pad = (k - 1) // 2
         xp = jnp.pad(x, ((0, 0), (pad, k - 1 - pad), (0, 0)))
         # window view via static shifts: y[t] = sum_j w[j] * x[t + j - pad]
         y = jnp.zeros_like(x)
-        ch_kernel = jnp.repeat(weight, self.n_feat // h, axis=0)  # (C, k)
+        ch_kernel = jnp.tile(weight, (self.n_feat // h, 1))       # (C, k)
         for j in range(k):
             y = y + xp[:, j:j + t, :] * ch_kernel[:, j]
         if self.use_bias:

@@ -51,8 +51,11 @@ _HALO = 1024      # receptive-field halo per side per group (>= 1023)
 
 def fused_stack_supported(residual_channels: int, gate_channels: int,
                           skip_channels: int, kernel_size: int,
-                          layers: int, stacks: int) -> bool:
+                          layers: int, stacks: int,
+                          aux_channels: int = 80) -> bool:
     if kernel_size != 3 or layers % stacks != 0:
+        return False
+    if not 0 < aux_channels <= 128:     # signals are lane-padded to 128
         return False
     if gate_channels != 2 * residual_channels:
         return False

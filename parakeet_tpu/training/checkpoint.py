@@ -24,7 +24,8 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 
-__all__ = ["flatten_tree", "unflatten_tree", "save_pytree", "load_pytree",
+__all__ = [
+    "load_variables","flatten_tree", "unflatten_tree", "save_pytree", "load_pytree",
            "SnapshotRing", "latest_record"]
 
 _SEP = "::"
@@ -179,3 +180,23 @@ class SnapshotRing:
 
     def latest(self) -> Optional[dict]:
         return self.records[-1] if self.records else None
+
+
+def load_variables(path):
+    """Checkpoint -> flax variables dict for inference.
+
+    Returns {"params": ..., possibly "batch_stats": ...}; unwraps a
+    {"generator": ...} GAN sub-dict (the Snapshot format stores the
+    whole train state, inference wants one network — the analog of the
+    reference pulling e.g. ["generator_params"],
+    examples/fastspeech2/baker/synthesize_e2e.py:36-42).
+    """
+    flat, _ = load_pytree(path)
+    tree = nest_flat(flat)
+    params = tree.get("params", tree)
+    if isinstance(params, dict) and "generator" in params:
+        params = params["generator"]
+    variables = {"params": params}
+    if "batch_stats" in tree:
+        variables["batch_stats"] = tree["batch_stats"]
+    return variables

@@ -12,6 +12,7 @@ Usage:
       --dumpdir dump --config conf/default.yaml [--num-cpu 8]
 """
 import argparse
+import functools
 import sys
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
@@ -29,19 +30,25 @@ from parakeet_tpu.data.preprocess import (build_phone_id_map,
 from parakeet_tpu.training.config import Config
 
 
+@functools.lru_cache(maxsize=4)
+def _extractors(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels,
+                f0min, f0max):
+    """One extractor set per worker process (building the mel filterbank
+    per utterance is pure waste over a 10k-file corpus)."""
+    return (LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
+                        win_length=win_length, fmin=fmin, fmax=fmax,
+                        n_mels=n_mels),
+            Pitch(sr=fs, hop_length=n_shift, f0min=f0min, f0max=f0max),
+            Energy(sr=fs, n_fft=n_fft, hop_length=n_shift,
+                   win_length=win_length))
+
+
 def process_utterance(utt, wav_path, phones, durations, speaker, cfg,
                       dumpdir):
     wav, _ = load_wav(wav_path, sr=cfg.fs)
-    mel_extractor = LogMelFBank(sr=cfg.fs, n_fft=cfg.n_fft,
-                                hop_length=cfg.n_shift,
-                                win_length=cfg.win_length,
-                                fmin=cfg.fmin, fmax=cfg.fmax,
-                                n_mels=cfg.n_mels)
-    pitch_extractor = Pitch(sr=cfg.fs, hop_length=cfg.n_shift,
-                            f0min=cfg.f0min, f0max=cfg.f0max)
-    energy_extractor = Energy(sr=cfg.fs, n_fft=cfg.n_fft,
-                              hop_length=cfg.n_shift,
-                              win_length=cfg.win_length)
+    mel_extractor, pitch_extractor, energy_extractor = _extractors(
+        cfg.fs, cfg.n_fft, cfg.n_shift, cfg.win_length, cfg.fmin,
+        cfg.fmax, cfg.n_mels, cfg.f0min, cfg.f0max)
     mel = mel_extractor.get_log_mel_fbank(wav)          # (T, n_mels)
     sent = {utt: [phones, list(durations), speaker]}
     if not reconcile_durations(sent, utt, mel.shape[0]):

@@ -25,9 +25,9 @@ from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.data.preprocess import load_id_map
 from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
 from parakeet_tpu.ops.normalizer import ZScore
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
-from parakeet_tpu.utils.device import set_device
+from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
 def build_frontend(lang, phones_dict):
@@ -66,8 +66,7 @@ def main():
     parser.add_argument("--lang", default="zh", choices=("zh", "en"))
     parser.add_argument("--max-text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=1024)
-    parser.add_argument("--device", default="tpu",
-                        choices=("cpu", "tpu"))
+    add_device_arg(parser)
     args = parser.parse_args()
     set_device(args.device)
 
@@ -77,25 +76,15 @@ def main():
 
     am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
                      **am_cfg.get("model", {}))
-    am_flat, _ = load_pytree(args.fastspeech2_checkpoint)
-    am_tree = nest_flat(am_flat)
-    am_params = am_tree.get("params", am_tree)
+    am_vars = load_variables(args.fastspeech2_checkpoint)
     voc = PWGGenerator(**voc_cfg.get("generator_params", {}))
-    voc_flat, _ = load_pytree(args.pwg_checkpoint)
-    voc_tree = nest_flat(voc_flat)
-    voc_params = voc_tree.get("params", voc_tree)
-    if isinstance(voc_params, dict) and "generator" in voc_params:
-        voc_params = voc_params["generator"]
+    voc_params = load_variables(args.pwg_checkpoint)["params"]
 
     am_norm = (ZScore(*np.load(args.fastspeech2_stat))
                if args.fastspeech2_stat else None)
     voc_norm = (ZScore(*np.load(args.pwg_stat)) if args.pwg_stat else None)
 
     get_ids = build_frontend(args.lang, args.phones_dict)
-
-    am_vars = {"params": am_params}
-    if "batch_stats" in am_tree:           # Postnet BatchNorm statistics
-        am_vars["batch_stats"] = am_tree["batch_stats"]
 
     @jax.jit
     def am_infer(variables, text, text_lengths):

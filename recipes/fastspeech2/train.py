@@ -32,7 +32,7 @@ from parakeet_tpu.training.optimizer import build_optimizer
 from parakeet_tpu.training.seeding import seed_everything
 from parakeet_tpu.training.trainer import Trainer
 from parakeet_tpu.training.updater import StandardUpdater
-from parakeet_tpu.utils.device import set_device
+from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
 def build_dataloader(metadata, cfg, shuffle, spk):
@@ -54,8 +54,7 @@ def main():
     parser.add_argument("--phones-dict", type=Path, default=None)
     parser.add_argument("--speaker-dict", type=Path, default=None)
     parser.add_argument("--opts", nargs="*", default=[])
-    parser.add_argument("--device", default="tpu",
-                        choices=("cpu", "tpu"))
+    add_device_arg(parser)
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel devices (0 = single device; "
                              "batch_size must be divisible by this)")

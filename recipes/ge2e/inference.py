@@ -18,19 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from parakeet_tpu.models import LSTMSpeakerEncoder
+from parakeet_tpu.models import LSTMSpeakerEncoder, partial_slices
 from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
 from parakeet_tpu.utils.device import add_device_arg, set_device
-
-
-def partial_slices(n_frames: int, partial_frames: int, hop: int):
-    """Start indices of partial windows covering the utterance."""
-    if n_frames <= partial_frames:
-        return [0]
-    starts = list(range(0, n_frames - partial_frames + 1, hop))
-    if starts[-1] + partial_frames < n_frames:
-        starts.append(n_frames - partial_frames)
-    return starts
 
 
 def main():
@@ -70,7 +60,16 @@ def main():
         starts = partial_slices(mel.shape[0], args.partial_frames, hop)
         partials = np.stack([mel[s:s + args.partial_frames]
                              for s in starts])
-        embeds = np.asarray(embed(params, jnp.asarray(partials)))
+        # bucket the partial count to a multiple of 8 so the jit cache
+        # is reused across utterance lengths (each new shape would
+        # otherwise cost a 20-40 s TPU compile); padded windows are
+        # embedded and discarded
+        n = partials.shape[0]
+        bucket = -(-n // 8) * 8
+        if bucket != n:
+            partials = np.pad(partials,
+                              ((0, bucket - n), (0, 0), (0, 0)))
+        embeds = np.asarray(embed(params, jnp.asarray(partials)))[:n]
         mean = embeds.mean(axis=0)
         emb = mean / max(np.linalg.norm(mean), 1e-12)
         rel = path.relative_to(args.input)

@@ -16,7 +16,7 @@ from parakeet_tpu.models import LSTMSpeakerEncoder
 from parakeet_tpu.models.ge2e_updater import (init_ge2e_train_state,
                                               make_ge2e_train_step)
 from parakeet_tpu.training.seeding import seed_everything
-from parakeet_tpu.utils.device import set_device
+from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
 class MultiSpeakerSampler:
@@ -66,8 +66,7 @@ def main():
     parser.add_argument("--max-iteration", type=int, default=1560000)
     parser.add_argument("--save-interval", type=int, default=10000)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--device", default="tpu",
-                        choices=("cpu", "tpu"))
+    add_device_arg(parser)
     args = parser.parse_args()
     set_device(args.device)
 

@@ -19,7 +19,7 @@ import numpy as np
 from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.data.datatable import read_jsonl
 from parakeet_tpu.models import PWGGenerator, pwg_inference
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
@@ -38,11 +38,7 @@ def main():
 
     cfg = Config.from_yaml(args.config)
     gen = PWGGenerator(**cfg.get("generator_params", {}))
-    flat, _ = load_pytree(args.checkpoint)
-    tree = nest_flat(flat)
-    params = tree.get("params", tree)
-    if isinstance(params, dict) and "generator" in params:
-        params = params["generator"]
+    params = load_variables(args.checkpoint)["params"]
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     for row in read_jsonl(args.test_metadata):

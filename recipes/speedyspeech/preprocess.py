@@ -12,6 +12,7 @@ Usage:
       --dumpdir dump --config conf/default.yaml [--num-cpu 8]
 """
 import argparse
+import functools
 import re
 import sys
 from concurrent.futures import ProcessPoolExecutor
@@ -37,14 +38,19 @@ def split_phone_tone(label: str):
     return label, "0"
 
 
+@functools.lru_cache(maxsize=4)
+def _mel_extractor(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels):
+    return LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
+                       win_length=win_length, fmin=fmin, fmax=fmax,
+                       n_mels=n_mels)
+
+
 def process_utterance(utt, wav_path, phones, durations, cfg, dumpdir,
                       phone_ids, tone_ids):
     wav, _ = load_wav(wav_path, sr=cfg.fs)
-    mel_extractor = LogMelFBank(sr=cfg.fs, n_fft=cfg.n_fft,
-                                hop_length=cfg.n_shift,
-                                win_length=cfg.win_length,
-                                fmin=cfg.fmin, fmax=cfg.fmax,
-                                n_mels=cfg.n_mels)
+    mel_extractor = _mel_extractor(cfg.fs, cfg.n_fft, cfg.n_shift,
+                                   cfg.win_length, cfg.fmin, cfg.fmax,
+                                   cfg.n_mels)
     mel = mel_extractor.get_log_mel_fbank(wav)
     sent = {utt: [phones, list(durations), "baker"]}
     if not reconcile_durations(sent, utt, mel.shape[0]):

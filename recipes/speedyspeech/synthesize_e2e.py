@@ -29,23 +29,9 @@ from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.frontend.zh_frontend import Frontend
 from parakeet_tpu.models import PWGGenerator, SpeedySpeech
 from parakeet_tpu.ops.normalizer import ZScore
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
 from parakeet_tpu.utils.device import add_device_arg, set_device
-
-
-def load_variables(path):
-    """Checkpoint -> flax variables dict ({"params": ..., and any extra
-    collections such as SpeedySpeech's BatchNorm "batch_stats"})."""
-    flat, _ = load_pytree(path)
-    tree = nest_flat(flat)
-    params = tree.get("params", tree)
-    if isinstance(params, dict) and "generator" in params:
-        params = params["generator"]
-    variables = {"params": params}
-    if "batch_stats" in tree:
-        variables["batch_stats"] = tree["batch_stats"]
-    return variables
 
 
 def main():
@@ -89,7 +75,13 @@ def main():
         out = am.apply(variables, text, tones,
                        max_frames=args.max_frames,
                        method=SpeedySpeech.inference)
-        return out["mel"], out["frame_lengths"]
+        mel = out["mel"]
+        if norm is not None:
+            # denormalization must live INSIDE the function so the
+            # jax.export graphs emit vocoder-domain mels (inference.py
+            # has no access to --stat)
+            mel = norm.inverse(mel)
+        return mel, out["frame_lengths"]
 
     def voc_fn(params, mel, noise):
         mel = jnp.pad(mel, ((0, 0), (w, w), (0, 0)), mode="edge")
@@ -135,8 +127,6 @@ def main():
             print(f"{utt_id}: predicted 0 frames, skipping")
             continue
         mel_np = np.asarray(mel)[:, :args.max_frames]
-        if norm is not None:
-            mel_np = np.asarray(norm.inverse(mel_np))
         noise = jax.random.normal(jax.random.PRNGKey(0),
                                   (1, args.max_frames * hop, 1))
         wav = voc_jit(voc_params, jnp.asarray(mel_np), noise)

@@ -26,18 +26,9 @@ from parakeet_tpu.data.datatable import read_jsonl
 from parakeet_tpu.models import (ConditionalWaveFlow, PWGGenerator,
                                  Tacotron2, pwg_inference)
 from parakeet_tpu.ops.normalizer import ZScore
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
 from parakeet_tpu.utils.device import add_device_arg, set_device
-
-
-def load_params(path):
-    flat, _ = load_pytree(path)
-    tree = nest_flat(flat)
-    params = tree.get("params", tree)
-    if isinstance(params, dict) and "generator" in params:
-        params = params["generator"]
-    return params
 
 
 def build_vocoder(args):
@@ -45,7 +36,7 @@ def build_vocoder(args):
     if args.pwg_checkpoint is not None:
         cfg = Config.from_yaml(args.pwg_config)
         gen = PWGGenerator(**cfg.get("generator_params", {}))
-        params = load_params(args.pwg_checkpoint)
+        params = load_variables(args.pwg_checkpoint)["params"]
 
         def run(mel):
             return np.asarray(pwg_inference(
@@ -55,7 +46,7 @@ def build_vocoder(args):
     if args.waveflow_checkpoint is not None:
         cfg = Config.from_yaml(args.waveflow_config)
         model = ConditionalWaveFlow(**cfg.get("model", {}))
-        params = load_params(args.waveflow_checkpoint)
+        params = load_variables(args.waveflow_checkpoint)["params"]
         upsample = int(np.prod(model.upsample_factors))
 
         @jax.jit
@@ -92,7 +83,7 @@ def main():
     cfg = Config.from_yaml(args.config)
     vocab_size = sum(1 for _ in open(args.phones_dict))
     model = Tacotron2(vocab_size=vocab_size, **cfg.get("model", {}))
-    params = load_params(args.checkpoint)
+    params = load_variables(args.checkpoint)["params"]
     norm = ZScore(*np.load(args.stat)) if args.stat else None
     vocoder, voc_fs = build_vocoder(args)
 

@@ -27,36 +27,23 @@ from parakeet_tpu.audio.codec import load_wav, save_wav
 from parakeet_tpu.audio.features import LogMelFBank
 from parakeet_tpu.frontend.generate_lexicon import generate_lexicon
 from parakeet_tpu.models import (ConditionalWaveFlow, LSTMSpeakerEncoder,
-                                 Tacotron2)
+                                 Tacotron2, embed_utterance)
 from parakeet_tpu.ops.normalizer import ZScore
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
-def load_params(path):
-    flat, _ = load_pytree(path)
-    tree = nest_flat(flat)
-    return tree.get("params", tree)
-
-
 def embed_reference(args):
-    """ref wav -> (256,) GE2E embedding (partials + normalized mean)."""
+    """ref wav -> (256,) GE2E embedding via the shared partial-window
+    helper (identical geometry to the training-time exporter)."""
     encoder = LSTMSpeakerEncoder(n_mels=40)
-    params = load_params(args.ge2e_checkpoint)
+    params = load_variables(args.ge2e_checkpoint)["params"]
     wav, _ = load_wav(args.ref_wav, sr=16000)
     mel = LogMelFBank(sr=16000, n_fft=512, hop_length=160, win_length=400,
                       n_mels=40, fmin=0,
                       fmax=8000).get_log_mel_fbank(wav, base="e")
-    frames, hop = 160, 80
-    if mel.shape[0] < frames:
-        mel = np.pad(mel, ((0, frames - mel.shape[0]), (0, 0)))
-    starts = list(range(0, mel.shape[0] - frames + 1, hop)) or [0]
-    partials = np.stack([mel[s:s + frames] for s in starts])
-    embeds = np.asarray(encoder.apply({"params": params},
-                                      jnp.asarray(partials)))
-    mean = embeds.mean(axis=0)
-    return mean / max(np.linalg.norm(mean), 1e-12)
+    return embed_utterance(encoder, params, mel)
 
 
 def main():
@@ -86,7 +73,7 @@ def main():
     model_kwargs = dict(cfg.get("model", {}))
     model_kwargs.setdefault("d_global_condition", 256)
     model = Tacotron2(vocab_size=len(vocab), **model_kwargs)
-    params = load_params(args.checkpoint)
+    params = load_variables(args.checkpoint)["params"]
     norm = ZScore(*np.load(args.stat)) if args.stat else None
     spk_emb = jnp.asarray(embed_reference(args))[None]
 
@@ -94,7 +81,7 @@ def main():
     if args.waveflow_checkpoint is not None:
         voc_cfg = Config.from_yaml(args.waveflow_config)
         voc = ConditionalWaveFlow(**voc_cfg.get("model", {}))
-        voc_params = load_params(args.waveflow_checkpoint)
+        voc_params = load_variables(args.waveflow_checkpoint)["params"]
         upsample = int(np.prod(voc.upsample_factors))
 
         @jax.jit

@@ -23,18 +23,9 @@ from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.data.datatable import read_jsonl
 from parakeet_tpu.models import PWGGenerator, TransformerTTS, pwg_inference
 from parakeet_tpu.ops.normalizer import ZScore
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
 from parakeet_tpu.utils.device import add_device_arg, set_device
-
-
-def load_params(path):
-    flat, _ = load_pytree(path)
-    tree = nest_flat(flat)
-    params = tree.get("params", tree)
-    if isinstance(params, dict) and "generator" in params:
-        params = params["generator"]
-    return params
 
 
 def main():
@@ -57,14 +48,14 @@ def main():
     idim = sum(1 for _ in open(args.phones_dict))
     model = TransformerTTS(idim=idim, odim=cfg.n_mels,
                            **cfg.get("model", {}))
-    params = load_params(args.checkpoint)
+    params = load_variables(args.checkpoint)["params"]
     norm = ZScore(*np.load(args.stat)) if args.stat else None
 
     vocoder = None
     if args.pwg_checkpoint is not None:
         voc_cfg = Config.from_yaml(args.pwg_config)
         gen = PWGGenerator(**voc_cfg.get("generator_params", {}))
-        voc_params = load_params(args.pwg_checkpoint)
+        voc_params = load_variables(args.pwg_checkpoint)["params"]
 
         def vocoder(mel):
             return np.asarray(pwg_inference(

@@ -18,7 +18,7 @@ import numpy as np
 
 from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.models import ConditionalWaveFlow
-from parakeet_tpu.training.checkpoint import load_pytree, nest_flat
+from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
@@ -41,9 +41,7 @@ def main():
     model_kwargs = dict(cfg.get("model", {}))
     model_kwargs["sigma"] = args.sigma
     model = ConditionalWaveFlow(**model_kwargs)
-    flat, _ = load_pytree(args.checkpoint)
-    tree = nest_flat(flat)
-    params = tree.get("params", tree)
+    params = load_variables(args.checkpoint)["params"]
 
     upsample = 1
     for f in model.upsample_factors:
