@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""FastSpeech2 training-throughput benchmark (avg_ips, sequences/sec).
+
+Counterpart of the reference's trainer `avg_ips` log-line metric
+(reference: parakeet/training/trainer.py:160-168) for the acoustic
+model: N jitted train steps of the default-config FastSpeech2
+(384-dim, 4+4 layers) on synthetic bucketed batches.
+
+Usage:  python benchmarks/train_fastspeech2.py [--iters 20] [--batch-size 32]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--text-len", type=int, default=96)
+    parser.add_argument("--frames", type=int, default=640)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import (FastSpeech2, init_fs2_train_state,
+                                     make_fs2_train_step)
+    from parakeet_tpu.training.optimizer import build_optimizer
+
+    b, t, frames, odim = (args.batch_size, args.text_len, args.frames, 80)
+    model = FastSpeech2(idim=80, odim=odim, adim=384, aheads=4, elayers=4,
+                        eunits=1536, dlayers=4, dunits=1536)
+    rng = np.random.default_rng(0)
+    durations = np.full((b, t), frames // t, np.int64)
+    durations[:, -1] += frames - durations[0].sum()
+    batch = {
+        "text": jnp.asarray(rng.integers(1, 80, (b, t))),
+        "text_lengths": jnp.asarray(np.full(b, t)),
+        "speech": jnp.asarray(rng.standard_normal(
+            (b, frames, odim)).astype(np.float32)),
+        "speech_lengths": jnp.asarray(np.full(b, frames)),
+        "durations": jnp.asarray(durations),
+        "pitch": jnp.asarray(rng.standard_normal(
+            (b, t, 1)).astype(np.float32)),
+        "energy": jnp.asarray(rng.standard_normal(
+            (b, t, 1)).astype(np.float32)),
+    }
+    tx = build_optimizer("adam", 1e-4)
+    state = init_fs2_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_fs2_train_step(model, tx)
+
+    state, metrics = step(state, batch)
+    np.asarray(metrics["loss"])
+
+    tic = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch)
+    np.asarray(metrics["loss"])
+    avg_batch_cost = (time.perf_counter() - tic) / args.iters
+    print(json.dumps({"metric": "fastspeech2_train_avg_ips",
+                      "batch_size": b,
+                      "value": round(b / avg_batch_cost, 3),
+                      "unit": "sequences/sec"}))
+
+
+if __name__ == "__main__":
+    main()
