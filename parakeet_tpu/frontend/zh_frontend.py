@@ -205,9 +205,39 @@ class Frontend:
                     table[parts[0]] = int(parts[1])
         return table
 
+    # erhua merge word lists (reference zh_frontend.py:44-58)
+    MUST_ERHUA = {"小院儿", "胡同儿", "范儿", "老汉儿", "撒欢儿", "寻老礼儿", "妥妥儿"}
+    NOT_ERHUA = {
+        "虐儿", "为儿", "护儿", "瞒儿", "救儿", "替儿", "有儿", "一儿", "我儿", "俺儿",
+        "妻儿", "拐儿", "聋儿", "乞儿", "患儿", "幼儿", "孤儿", "婴儿", "婴幼儿",
+        "连体儿", "脑瘫儿", "流浪儿", "体弱儿", "混血儿", "蜜雪儿", "舫儿", "祖儿",
+        "美儿", "应采儿", "可儿", "侄儿", "孙儿", "侄孙儿", "女儿", "男儿", "红孩儿",
+        "花儿", "虫儿", "马儿", "鸟儿", "猪儿", "猫儿", "狗儿",
+    }
+
+    def _merge_erhua(self, sylls: List[str], word: str,
+                     pos: str) -> List[str]:
+        """Fold a trailing 儿 (er2/er5) into the previous syllable as an
+        'r' suffix, honoring the must/not word lists and POS filter
+        (reference zh_frontend.py:144-163)."""
+        if word not in self.MUST_ERHUA and (
+                word in self.NOT_ERHUA or pos in {"a", "j", "nr"}):
+            return sylls
+        if (len(sylls) >= 2 and len(word) >= 2 and word[-1] == "儿"
+                and sylls[-1] in ("er2", "er5")
+                and word[-2:] not in self.NOT_ERHUA):
+            prev = sylls[-2]
+            if prev and prev[-1].isdigit():
+                prev = prev[:-1] + "r" + prev[-1]
+            else:
+                prev = prev + "r"
+            return sylls[:-2] + [prev]
+        return sylls
+
     # ---- pipeline steps -------------------------------------------------
     def _g2p_sentence(self, sentence: str,
-                      with_sandhi: bool = True) -> List[str]:
+                      with_sandhi: bool = True,
+                      with_erhua: bool = True) -> List[str]:
         """Normalized sentence -> toned pinyin syllables."""
         if _HAS_JIEBA:
             seg = [(w.word, w.flag) for w in psg.cut(sentence)]
@@ -224,6 +254,8 @@ class Frontend:
                 finals = [s for s in py]
                 finals = self.tone_sandhi.modified_tone(word, pos, finals)
                 py = finals
+            if with_erhua and len(py) == len(word):
+                py = self._merge_erhua(py, word, pos)
             sylls.extend(py)
         return sylls
 
@@ -234,7 +266,7 @@ class Frontend:
         out = []
         for s in sentences:
             phones: List[str] = []
-            for syll in self._g2p_sentence(s):
+            for syll in self._g2p_sentence(s, with_erhua=with_erhua):
                 try:
                     phones.extend(syllable_to_phones(syll))
                 except ValueError:

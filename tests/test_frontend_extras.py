@@ -50,3 +50,13 @@ def test_schedulers():
 def test_timeline_import():
     from parakeet_tpu.utils import timeline
     assert callable(timeline.xplane_to_chrome_trace)
+
+
+def test_erhua_merge():
+    from parakeet_tpu.frontend.zh_frontend import Frontend
+    f = Frontend(strict=False)
+    # generic erhua: 儿 folds into the previous syllable as an r suffix
+    assert f.get_phonemes("这儿")[0] == ["zh", "e4", "&r"]
+    # not_erhua words keep 儿 as its own syllable (reference
+    # zh_frontend.py:45-58)
+    assert f.get_phonemes("女儿")[0] == ["n", "v3", "er5"]
