@@ -13,6 +13,8 @@ import jax
 import numpy as np
 
 from parakeet_tpu.models import LSTMSpeakerEncoder
+from parakeet_tpu.training.checkpoint import SnapshotRing, save_pytree
+from parakeet_tpu.training.optimizer import build_optimizer
 from parakeet_tpu.models.ge2e_updater import (init_ge2e_train_state,
                                               make_ge2e_train_step)
 from parakeet_tpu.training.seeding import seed_everything
@@ -76,14 +78,12 @@ def main():
                                   args.seed)
     model = LSTMSpeakerEncoder(n_mels=args.n_mels)
 
-    from parakeet_tpu.training.optimizer import build_optimizer
     tx = build_optimizer("adam", args.learning_rate)
     state = init_ge2e_train_state(
         model, tx, jax.random.PRNGKey(args.seed),
         {"utterances": sampler.batch()}, args.speakers_per_batch)
     step = make_ge2e_train_step(model, tx, args.speakers_per_batch)
 
-    from parakeet_tpu.training.checkpoint import SnapshotRing
     ring = SnapshotRing(args.output_dir / "checkpoints", max_size=5)
     for it in range(1, args.max_iteration + 1):
         state, metrics = step(state, {"utterances": sampler.batch()})
@@ -91,11 +91,8 @@ def main():
             print(f"iter {it}: loss {float(metrics['loss']):.4f} "
                   f"acc {float(metrics['accuracy']):.3f}")
         if it % args.save_interval == 0:
-            from parakeet_tpu.training.updater import StandardUpdater
-            import jax as _jax
-            from parakeet_tpu.training.checkpoint import save_pytree
             path = ring.path_for(it)
-            save_pytree(path, _jax.device_get(state),
+            save_pytree(path, jax.device_get(state),
                         metadata={"iteration": it})
             ring.register(path, it)
 

@@ -79,3 +79,12 @@ def test_ge2e_preprocess_inference_chain(tmp_path):
     e = np.load(out[0])
     assert e.shape == (32,)
     np.testing.assert_allclose(np.linalg.norm(e), 1.0, rtol=1e-4)
+
+    # a few real training iterations over the preprocessed partials
+    exp = tmp_path / "exp"
+    _run(RECIPES / "ge2e" / "train.py",
+         "--data-root", mels, "--output-dir", exp,
+         "--speakers-per-batch", 2, "--utterances-per-speaker", 2,
+         "--frames", 40, "--max-iteration", 2, "--save-interval", 2,
+         "--device", "cpu")
+    assert list((exp / "checkpoints").glob("*.npz")), "no ge2e snapshot"
