@@ -57,14 +57,7 @@ def _wn(kernel: jnp.ndarray, scale: Optional[jnp.ndarray]) -> jnp.ndarray:
     return kernel * (scale / norm)
 
 
-def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
-    """(B, T, C) -> y with y[:, t] = x[:, t + off], zero outside [0, T)."""
-    if off == 0:
-        return x
-    t = x.shape[1]
-    if off > 0:
-        return jnp.pad(x, ((0, 0), (0, off), (0, 0)))[:, off:]
-    return jnp.pad(x, ((0, 0), (-off, 0), (0, 0)))[:, :t]
+from ..ops.geometry import time_shift as _shift  # noqa: E402
 
 
 def conv1d_taps(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int = 1,
@@ -193,8 +186,11 @@ class UpsampleNet(nn.Module):
                     y = y + xs[:, :, None, :] * km[None, None, :, fi:fi + 1]
             x = y.reshape(b, n * s, f)
             if self.nonlinear_activation is not None:
-                act = getattr(nn, self.nonlinear_activation.lower(), None) \
-                    or getattr(jax.nn, self.nonlinear_activation.lower())
+                # accept paddle class names from reference configs
+                name = {"leakyrelu": "leaky_relu", "prelu": "leaky_relu"}\
+                    .get(self.nonlinear_activation.lower(),
+                         self.nonlinear_activation.lower())
+                act = getattr(nn, name, None) or getattr(jax.nn, name)
                 x = act(x, **(self.nonlinear_activation_params or {}))
         return x
 
@@ -301,6 +297,10 @@ class ResidualStack(nn.Module):
             if not supported:
                 raise ValueError("fused pallas stack unsupported for this "
                                  "ResidualStack configuration")
+            if not deterministic:
+                raise ValueError(
+                    "impl='pallas' is inference-only (no dropout, no VJP);"
+                    " use impl='xla' (or 'auto') for training")
             use_pallas = True
         elif self.impl == "auto":
             use_pallas = (deterministic and supported
@@ -429,13 +429,18 @@ _PWG_APPLY_CACHE: Dict[int, Any] = {}
 
 
 def _pwg_apply(generator, variables, noise, mel):
-    """Per-generator-instance jitted apply (modules built from YAML carry
-    list fields, so they are not hashable static args; the strong ref in
-    the cache keeps id() stable)."""
-    entry = _PWG_APPLY_CACHE.get(id(generator))
-    if entry is None or entry[0] is not generator:
-        entry = (generator, jax.jit(generator.apply))
-        _PWG_APPLY_CACHE[id(generator)] = entry
+    """Per-generator-instance jitted apply.  Modules built from YAML
+    carry list fields, so they are not hashable static args; keyed by
+    id() with a weakref + finalizer so entries (and their compiled
+    executables) are evicted when the generator is garbage collected."""
+    import weakref
+    key = id(generator)
+    entry = _PWG_APPLY_CACHE.get(key)
+    if entry is None or entry[0]() is not generator:
+        fn = jax.jit(generator.apply)
+        _PWG_APPLY_CACHE[key] = (weakref.ref(generator), fn)
+        weakref.finalize(generator, _PWG_APPLY_CACHE.pop, key, None)
+        entry = _PWG_APPLY_CACHE[key]
     return entry[1](variables, noise, mel)
 
 

@@ -12,10 +12,10 @@ TPU-first design (not a port):
   (the whole density evaluation is a single parallel program).
 - synthesis inverts each flow with a ``lax.scan`` over the n_group rows
   (reference runs a python row loop with per-layer ring buffers,
-  waveflow.py:496-557).  Each scan step recomputes the conv stack on the
-  partially-reconstructed grid — static shapes, no ring-buffer state; with
-  n_group=16 rows the extra FLOPs stay tiny relative to MXU throughput,
-  and the entire 8-flow sampler compiles to one XLA program.
+  waveflow.py:496-557).  Each step carries an explicit (kh-1)-row input
+  buffer per resnet layer — the functional form of those ring buffers —
+  so exactly ONE new row flows through the stack per step, and the
+  entire 8-flow sampler compiles to one XLA program.
 - upsampling uses transposed convs with LeakyReLU(0.4) exactly as the
   reference UpsampleNet (waveflow.py:54-133), with edge artifact trimming
   folded into SAME padding.
@@ -27,6 +27,8 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ..ops.geometry import time_shift
 
 __all__ = ["UpsampleNet", "WaveFlow", "ConditionalWaveFlow",
            "waveflow_loss", "fold", "unfold"]
@@ -74,8 +76,12 @@ class UpsampleNet(nn.Module):
             kernel = kernel.astype(self.dtype)
             b, n, f = x.shape
             # conv_transpose(SAME): out[n*s + r] reads input frames
-            # n + m_r and n + m_r + 1 with kernel taps j_r, j_r + s
-            pad_lo = (3 * s - 2) // 2
+            # n + m_r and n + m_r + 1 with kernel taps j_r, j_r + s.
+            # total transposed padding is 3s-2 split SAME-style with the
+            # EXTRA element on the low side: pad_lo = ceil((3s-2)/2)
+            # (verified to 1e-7 against flax ConvTranspose for even AND
+            # odd scales; flooring is only equivalent for even s)
+            pad_lo = (3 * s - 1) // 2
             xpad = jnp.pad(x, ((0, 0), (2, 2), (1, 1)))
             phases = []
             for r in range(s):
@@ -158,22 +164,13 @@ class WaveFlowResidualBlock(nn.Module):
         kernel = self.conv.variables["params"]["kernel"]  # (kh,kw,C,2C)
         bias = self.conv.variables["params"]["bias"]
         kh, kw = self.kernel_size
-        w = rows.shape[1]
         c2 = kernel.shape[-1]
         # (kh, kw, C, 2C) -> (kw, kh*C, 2C)
         kmat = kernel.transpose(1, 0, 2, 3).reshape(kw, -1, c2)
         acc = None
         for dw in range(kw):
             off = (dw - (kw - 1) // 2) * self.dilation_w
-            if off > 0:
-                shifted = jnp.pad(rows, ((0, 0), (0, off), (0, 0))
-                                  )[:, off:]
-            elif off < 0:
-                shifted = jnp.pad(rows, ((0, 0), (-off, 0), (0, 0))
-                                  )[:, :w]
-            else:
-                shifted = rows
-            y = jnp.dot(shifted, kmat[dw],
+            y = jnp.dot(time_shift(rows, off), kmat[dw],
                         preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
         h = (acc.astype(rows.dtype) + bias + cond_gate_row)

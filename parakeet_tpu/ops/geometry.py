@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["shuffle_dim"]
+__all__ = ["shuffle_dim", "time_shift"]
 
 
 def shuffle_dim(x: jnp.ndarray, axis: int, perm=None,
@@ -23,3 +23,14 @@ def shuffle_dim(x: jnp.ndarray, axis: int, perm=None,
         perm = jax.random.permutation(rng, x.shape[axis])
     perm = jnp.asarray(perm)
     return jnp.take(x, perm, axis=axis)
+
+
+def time_shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
+    """(B, T, C) -> y with y[:, t] = x[:, t + off], zero outside [0, T)
+    (the shifted view behind the shifted-matmul conv formulations)."""
+    if off == 0:
+        return x
+    t = x.shape[1]
+    if off > 0:
+        return jnp.pad(x, ((0, 0), (0, off), (0, 0)))[:, off:]
+    return jnp.pad(x, ((0, 0), (-off, 0), (0, 0)))[:, :t]

@@ -73,8 +73,9 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
                   *, dils, cr: int, ca: int, t_signal: int):
     """One group of len(dils) gated residual layers on an extended window.
 
-    x_hbm: (B, pad_t + 2*HALO, 128) bf16 in HBM (lane-padded for DMA
-    tiling); c_hbm likewise (ca lanes used)
+    x_hbm: (B, pad_t + 2*BLOCK, 128) bf16 in HBM (one full BLOCK of
+    padding per side so output blocks are block-aligned; lanes padded to
+    128 for DMA tiling); c_hbm likewise (ca lanes used)
     w02: (Lg, 2cr, 2cr) bf16   [w_tap0; w_tap2] stacked on contraction
     w1:  (Lg, cr, 2cr) bf16    center tap
     wa:  (Lg, ca, 2cr) bf16    aux 1x1
@@ -142,8 +143,10 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
 
 def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
                interpret):
-    """x_pad/c_pad: (B, nblk*BLOCK + 2*HALO, C) bf16 zero-padded; returns
-    (x_new, skips) as (B, nblk*BLOCK, cr) [bf16, f32]."""
+    """x_pad/c_pad: (B, (nblk+2)*BLOCK, 128) bf16 (c zero-padded; x
+    halo/pad garbage tolerated — select-masked at load); returns
+    (x_next in the same padded layout [bf16], skips
+    (B, nblk*BLOCK, cr) [f32])."""
     lg = len(dils)
     blk = _BLOCK
     r = blk + 2 * _HALO
@@ -157,8 +160,8 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
         functools.partial(_group_kernel, dils=tuple(dils), cr=cr,
                           ca=ca, t_signal=t_signal),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   wspec((lg, 2 * cr, 2 * cr)), wspec((lg, cr, 2 * cr)),
                   wspec((lg, ca, 2 * cr)), wspec((lg, cr, 2 * cr)),
                   wspec((lg, 1, 2 * cr)), wspec((lg, 1, 2 * cr))],

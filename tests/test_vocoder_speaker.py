@@ -106,3 +106,29 @@ def test_scale_wb_gradients_only_touches_wb():
     assert float(out["similarity_bias"]) == pytest.approx(0.02)
     np.testing.assert_array_equal(np.asarray(out["linear"]["kernel"]),
                                   np.ones((2, 2)))
+
+
+def test_waveflow_upsample_matches_convtranspose_odd_and_even():
+    """Polyphase UpsampleNet == flax ConvTranspose(SAME) for odd AND even
+    scales (odd scales exercise the ceil-side SAME padding split)."""
+    import flax.linen as nn
+    from parakeet_tpu.models.waveflow import UpsampleNet
+
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, 7, 5)).astype(np.float32))
+    for s in (3, 4, 5):
+        net = UpsampleNet(upsample_factors=(s,))
+        v = net.init(jax.random.PRNGKey(s), mel)
+        got = net.apply(v, mel)
+
+        kernel = v["params"]["deconv_0_kernel"]
+        bias = v["params"]["deconv_0_bias"]
+        conv = nn.ConvTranspose(1, (3, 2 * s), strides=(1, s),
+                                padding="SAME")
+        x = mel.transpose(0, 2, 1)[..., None]   # (B, F, N, 1)
+        ref = conv.apply({"params": {"kernel": kernel, "bias": bias}}, x)
+        ref = nn.leaky_relu(ref[..., 0].transpose(0, 2, 1),
+                            negative_slope=0.4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"scale {s}")
