@@ -1,23 +1,27 @@
 """SpeedySpeech (pure-conv non-autoregressive text -> mel), TPU-native.
 
-Behavioral equivalent of the reference implementation (reference:
-parakeet/models/speedyspeech/speedyspeech.py:29-232): phone+tone text
-embedding -> dilated residual-conv encoder -> duration predictor on
-stop-gradient encodings (log domain) -> duration expansion -> sinusoidal
-positional encoding -> dilated residual-conv decoder -> mel.
+Structural equivalent of the reference implementation (reference:
+parakeet/models/speedyspeech/speedyspeech.py:20-232): phone+tone text
+embedding -> prenet -> dilated residual-conv encoder (each residual
+block = 2 x [conv -> ReLU -> BN]) with a linear postnet -> duration
+predictor on stop-gradient encodings (log domain, kernel sizes 4/3/1)
+-> duration expansion -> sinusoidal positional encoding -> dilated
+residual-conv decoder with residual-block postnet -> mel.  The layer
+tree matches the reference module-for-module so released checkpoints
+convert weight-for-weight (tools/convert_speedyspeech_checkpoint.py).
 
 TPU-first design:
 - duration expansion is the on-device searchsorted length regulator
   (ops/length_regulator.py) to a static padded length — the reference
   builds an int64 expansion matrix in a python loop at inference
-  (speedyspeech.py:174-207).
-- NLC layout; BatchNorm over the channel axis with masked statistics.
+  (speedyspeech.py:186-220).
+- NLC layout; BatchNorm over the channel axis.
 - config keys follow the reference YAML (encoder_hidden_size,
   encoder_dilations, ...) so recipes carry over.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -33,27 +37,30 @@ __all__ = ["SpeedySpeech", "speedyspeech_loss"]
 
 
 class ResidualBlock(nn.Module):
-    """conv1d(dilated) -> BN -> ReLU with residual add
-    (reference speedyspeech.py:20-45)."""
+    """x + [conv1d(dilated, SAME) -> ReLU -> BN] x n
+    (reference speedyspeech.py:20-38)."""
     channels: int
     kernel_size: int = 3
     dilation: int = 1
+    n: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = nn.Conv(self.channels, (self.kernel_size,),
-                    kernel_dilation=(self.dilation,), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
-        h = nn.BatchNorm(use_running_average=deterministic,
-                         dtype=self.dtype, name="bn")(h)
-        h = nn.relu(h)
+        h = x
+        for i in range(self.n):
+            h = nn.Conv(self.channels, (self.kernel_size,),
+                        kernel_dilation=(self.dilation,), padding="SAME",
+                        dtype=self.dtype, name=f"conv_{i}")(h)
+            h = nn.relu(h)
+            h = nn.BatchNorm(use_running_average=deterministic,
+                             dtype=self.dtype, name=f"bn_{i}")(h)
         return x + h
 
 
 class TextEmbedding(nn.Module):
     """Phone embedding plus optional tone embedding, 'add' or 'concat'
-    (reference speedyspeech.py:29-62)."""
+    (reference speedyspeech.py:41-73)."""
     vocab_size: int
     embed_size: int
     tone_vocab_size: Optional[int] = None
@@ -66,11 +73,14 @@ class TextEmbedding(nn.Module):
     def __call__(self, text, tones=None):
         emb = nn.Embed(self.vocab_size, self.embed_size, dtype=self.dtype,
                        name="text_embed")(text)
+        # paddle Embedding(padding_idx=0) pins row 0 to zeros
         emb = emb * (text != self.padding_idx)[..., None].astype(emb.dtype)
         if tones is not None and self.tone_vocab_size is not None:
             t_size = self.tone_embed_size or self.embed_size
             tone = nn.Embed(self.tone_vocab_size, t_size, dtype=self.dtype,
                             name="tone_embed")(tones)
+            tone = tone * (tones != self.padding_idx)[..., None].astype(
+                tone.dtype)
             if self.concat:
                 emb = jnp.concatenate([emb, tone], axis=-1)
             else:
@@ -79,49 +89,50 @@ class TextEmbedding(nn.Module):
 
 
 class SpeedySpeechEncoder(nn.Module):
-    """prenet dense -> residual dilated conv stack -> linear + residual
-    (reference speedyspeech.py:63-96)."""
+    """prenet -> residual dilated conv stack -> embedding-residual linear
+    postnet -> ReLU -> BN -> linear (reference speedyspeech.py:75-106)."""
     hidden_size: int = 128
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 9, 27, 1, 3, 9, 27, 1, 1)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="prenet_fc")(x)
-        h = nn.relu(h)
+    def __call__(self, emb, *, deterministic: bool = True):
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype,
+                       name="prenet_fc")(emb)
+        emb = nn.relu(emb)
+        h = emb
         for i, d in enumerate(self.dilations):
-            h = ResidualBlock(self.hidden_size, self.kernel_size, d,
+            h = ResidualBlock(self.hidden_size, self.kernel_size, d, n=2,
                               dtype=self.dtype,
                               name=f"res_{i}")(h, deterministic=deterministic)
-        out = nn.Dense(self.hidden_size, dtype=self.dtype, name="post_fc1")(h)
-        out = nn.relu(out)
-        out = nn.Dense(self.hidden_size, dtype=self.dtype,
-                       name="post_fc2")(out)
-        return h + out
+        x = emb + nn.Dense(self.hidden_size, dtype=self.dtype,
+                           name="postnet1_fc")(h)
+        x = nn.relu(x)
+        x = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype,
+                         name="postnet2_bn")(x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype,
+                        name="postnet2_fc")(x)
 
 
 class SSDurationPredictor(nn.Module):
-    """Residual conv blocks -> linear, log-domain durations
-    (reference speedyspeech.py:97-108)."""
+    """Residual conv blocks (kernel 4/3/1, single sub-block each) ->
+    linear; log-domain durations (reference speedyspeech.py:108-118)."""
     hidden_size: int = 128
-    kernel_size: int = 3
-    dilations: Sequence[int] = (1, 3, 9, 27, 1)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         h = x
-        for i, d in enumerate(self.dilations):
-            h = ResidualBlock(self.hidden_size, self.kernel_size, d,
-                              dtype=self.dtype,
+        for i, k in enumerate((4, 3, 1)):
+            h = ResidualBlock(self.hidden_size, k, 1, n=1, dtype=self.dtype,
                               name=f"res_{i}")(h, deterministic=deterministic)
         return nn.Dense(1, dtype=self.dtype, name="fc")(h).squeeze(-1)
 
 
 class SpeedySpeechDecoder(nn.Module):
-    """Residual dilated conv stack -> mel projection
-    (reference speedyspeech.py:109-127)."""
+    """Residual dilated conv stack -> input-residual linear postnet ->
+    residual block -> mel projection (reference speedyspeech.py:120-138)."""
     hidden_size: int = 128
     output_size: int = 80
     kernel_size: int = 3
@@ -133,15 +144,22 @@ class SpeedySpeechDecoder(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         h = x
         for i, d in enumerate(self.dilations):
-            h = ResidualBlock(self.hidden_size, self.kernel_size, d,
+            h = ResidualBlock(self.hidden_size, self.kernel_size, d, n=2,
                               dtype=self.dtype,
                               name=f"res_{i}")(h, deterministic=deterministic)
-        return nn.Dense(self.output_size, dtype=self.dtype, name="fc")(h)
+        x = x + nn.Dense(self.hidden_size, dtype=self.dtype,
+                         name="postnet1_fc")(h)
+        x = ResidualBlock(self.hidden_size, self.kernel_size, 1, n=2,
+                          dtype=self.dtype,
+                          name="postnet2_res")(x,
+                                               deterministic=deterministic)
+        return nn.Dense(self.output_size, dtype=self.dtype, name="fc")(x)
 
 
 class SpeedySpeech(nn.Module):
     """Config keys follow the reference constructor
-    (speedyspeech.py:128-173)."""
+    (speedyspeech.py:141-165).  ``spk_num`` (speaker embedding added to
+    the text embedding) is an extension beyond the reference."""
     vocab_size: int
     encoder_hidden_size: int = 128
     encoder_kernel_size: int = 3
@@ -168,8 +186,7 @@ class SpeedySpeech(nn.Module):
             self.encoder_hidden_size, self.encoder_kernel_size,
             self.encoder_dilations, dtype=self.dtype)
         self.duration_predictor = SSDurationPredictor(
-            self.duration_predictor_hidden_size, self.encoder_kernel_size,
-            dtype=self.dtype)
+            self.duration_predictor_hidden_size, dtype=self.dtype)
         self.decoder = SpeedySpeechDecoder(
             self.decoder_hidden_size, self.decoder_output_size,
             self.decoder_kernel_size, self.decoder_dilations,
@@ -182,7 +199,7 @@ class SpeedySpeech(nn.Module):
             emb = emb + self.spk_emb(spk_id)[:, None, :]
         encodings = self.encoder(emb, deterministic=deterministic)
         # duration head sees stop-gradient encodings (reference
-        # speedyspeech.py:154-160 uses .detach())
+        # speedyspeech.py:172-173 uses .detach())
         log_d = self.duration_predictor(
             jax.lax.stop_gradient(encodings), deterministic=deterministic)
         return encodings, log_d
@@ -211,21 +228,31 @@ class SpeedySpeech(nn.Module):
     def inference(self, text, tones=None, spk_id=None,
                   max_frames: int = 1000, alpha: float = 1.0,
                   *, deterministic: bool = True):
-        """Free-running: expand by predicted durations (exp - 1, rounded,
-        speed-scaled by alpha; reference speedyspeech.py:174-207)."""
+        """Free-running: expand by predicted durations round(exp(.))
+        (reference speedyspeech.py:186-198); ``alpha`` speed control is
+        an extension (1.0 = reference behavior)."""
         encodings, log_d = self.encode(text, tones, spk_id,
                                        deterministic=deterministic)
-        d = jnp.clip(jnp.round(alpha * (jnp.exp(log_d) - 1.0)), 0, None)
+        # clamp per-token durations to the frame budget so the float ->
+        # int cast cannot overflow on untrained/extreme predictions
+        d = jnp.clip(jnp.round(alpha * jnp.exp(log_d)), 0, max_frames)
         d = d.astype(jnp.int32)
         expanded, frame_lengths = length_regulate(encodings, d, max_frames)
         mel = self.decode(expanded, deterministic=deterministic)
         return {"mel": mel, "frame_lengths": frame_lengths}
 
 
+def _huber(err, delta: float = 1.0):
+    a = jnp.abs(err)
+    return jnp.where(a <= delta, 0.5 * jnp.square(err),
+                     delta * (a - 0.5 * delta))
+
+
 def speedyspeech_loss(outputs, batch, *, ssim_weight: float = 1.0,
                       mel_weight: float = 1.0, duration_weight: float = 1.0):
-    """masked L1 + (1 - SSIM) + log-duration MSE (reference:
-    parakeet/models/speedyspeech/speedyspeech_updater.py:33-70)."""
+    """masked L1 + (1 - SSIM) + huber(log-duration) (reference:
+    parakeet/models/speedyspeech/speedyspeech_updater.py:49-95:
+    duration target is log(max(d, 1)), huber delta 1.0)."""
     mel = outputs["mel"]
     target = batch["feats"]
     t = mel.shape[1]
@@ -238,9 +265,10 @@ def speedyspeech_loss(outputs, batch, *, ssim_weight: float = 1.0,
     tok_mask = sequence_mask(batch["num_phones"],
                              outputs["log_durations"].shape[1]).astype(
         mel.dtype)
-    log_d_target = jnp.log(batch["durations"].astype(mel.dtype) + 1.0)
+    log_d_target = jnp.log(
+        jnp.maximum(batch["durations"].astype(mel.dtype), 1.0))
     dur_loss = weighted_mean(
-        jnp.square(outputs["log_durations"] - log_d_target), tok_mask)
+        _huber(outputs["log_durations"] - log_d_target), tok_mask)
     loss = (mel_weight * l1 + ssim_weight * ssim_loss
             + duration_weight * dur_loss)
     return {"loss": loss, "l1_loss": l1, "ssim_loss": ssim_loss,

@@ -178,8 +178,10 @@ class Tacotron2(nn.Module):
             self.d_encoder, self.encoder_conv_layers,
             self.encoder_kernel_size, self.p_encoder_dropout,
             dtype=self.dtype)
+        # bias-free, reference tacotron2.py:58-59 (DecoderPreNet)
         self.prenet = Prenet(2, self.d_prenet, self.p_prenet_dropout,
-                             always_dropout=True, dtype=self.dtype)
+                             always_dropout=True, use_bias=False,
+                             dtype=self.dtype)
         self.cell = Tacotron2DecoderCell(
             self.d_mels, self.reduction_factor, self.d_attention_rnn,
             self.d_decoder_rnn, self.d_attention, self.attention_filters,

@@ -158,8 +158,9 @@ class TransformerTTS(nn.Module):
         self.decoder_prenet = Prenet(
             self.dprenet_layers, self.dprenet_units,
             self.dprenet_dropout_rate, always_dropout=True, dtype=self.dtype)
-        self.decoder_prenet_proj = nn.Dense(self.adim, use_bias=False,
-                                            dtype=self.dtype)
+        # the projection after the prenet carries a bias in the
+        # reference (transformer_tts.py:151-157: nn.Linear default)
+        self.decoder_prenet_proj = nn.Dense(self.adim, dtype=self.dtype)
         self.decoder = TransformerDecoder(
             self.adim, self.aheads, self.dunits, self.dlayers,
             dropout_rate=self.transformer_dec_dropout_rate,

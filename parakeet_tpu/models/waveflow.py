@@ -22,6 +22,7 @@ TPU-first design (not a port):
 """
 from __future__ import annotations
 
+import math
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -135,7 +136,7 @@ class WaveFlowResidualBlock(nn.Module):
             h[..., self.channels:])
         out = self.out_proj(gate)
         res, skip = out[..., :self.channels], out[..., self.channels:]
-        return (x_res + res) * jnp.sqrt(0.5).astype(res.dtype), skip
+        return x_res + res, skip
 
     def __call__(self, x, condition):
         """x (B, h, W, C); condition (B, h, W, C_cond)."""
@@ -183,7 +184,7 @@ class WaveFlowResidualBlock(nn.Module):
                           rows.dtype) + obias
         res, skip = out[..., :self.channels], out[..., self.channels:]
         x_cur = rows[..., -self.channels:]
-        return (x_cur + res) * jnp.sqrt(0.5).astype(res.dtype), skip
+        return x_cur + res, skip
 
 
 class Flow(nn.Module):
@@ -215,7 +216,6 @@ class Flow(nn.Module):
         for block in self.resnet:
             h, skip = block(h, condition)
             skips = skips + skip
-        skips = skips * jnp.sqrt(1.0 / self.n_layers).astype(x.dtype)
         out = self.output_proj(skips)
         return out[..., 0], out[..., 1]
 
@@ -278,7 +278,6 @@ class Flow(nn.Module):
                                  z_row.dtype) + cb
             h_row, skip = block.step(rows, cond_g)
             skips = skips + skip
-        skips = skips * jnp.sqrt(1.0 / self.n_layers).astype(z_row.dtype)
         okern = self.output_proj.variables["params"]["kernel"][0, 0]
         obias = self.output_proj.variables["params"]["bias"]
         out = jnp.dot(skips, okern) + obias            # (B, W, 2)
@@ -399,9 +398,11 @@ class ConditionalWaveFlow(nn.Module):
 def waveflow_loss(z: jnp.ndarray, logs_sum: jnp.ndarray,
                   sigma: float = 1.0) -> dict:
     """-log-likelihood / sample count: z^2 / (2 sigma^2) - logdet
-    (reference waveflow.py:855-882)."""
+    + (log(2 pi)/2 + log sigma) (reference waveflow.py:855-892; the
+    constant matches WaveFlowLoss.const so reported losses compare)."""
     n = z.shape[0] * z.shape[1]
+    const = 0.5 * math.log(2 * math.pi) + math.log(sigma)
     nll = jnp.sum(jnp.square(z)) / (2 * sigma * sigma)
     logdet = jnp.sum(logs_sum)
-    loss = (nll - logdet) / n
-    return {"loss": loss, "nll": nll / n, "logdet": logdet / n}
+    loss = (nll - logdet) / n + const
+    return {"loss": loss, "nll": nll / n + const, "logdet": logdet / n}

@@ -54,6 +54,7 @@ class Prenet(nn.Module):
     n_units: int = 256
     dropout_rate: float = 0.5
     always_dropout: bool = True
+    use_bias: bool = True  # Tacotron2's DecoderPreNet is bias-free
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,7 +62,8 @@ class Prenet(nn.Module):
         det = False if self.always_dropout else deterministic
         h = xs
         for i in range(self.n_layers):
-            h = nn.Dense(self.n_units, dtype=self.dtype, name=f"fc_{i}")(h)
+            h = nn.Dense(self.n_units, use_bias=self.use_bias,
+                         dtype=self.dtype, name=f"fc_{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=det)
         return h
