@@ -115,11 +115,13 @@ class WaveFlowResidualBlock(nn.Module):
     cond_channels: int
     kernel_size: Tuple[int, int] = (3, 3)
     dilation_w: int = 1
+    dilation_h: int = 1  # >1 for n_group >= 32 (waveflow.py:420-426)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.conv = nn.Conv(2 * self.channels, self.kernel_size,
-                            kernel_dilation=(1, self.dilation_w),
+                            kernel_dilation=(self.dilation_h,
+                                             self.dilation_w),
                             padding="VALID", dtype=self.dtype)
         self.condition_proj = nn.Conv(2 * self.channels, (1, 1),
                                       dtype=self.dtype)
@@ -140,16 +142,24 @@ class WaveFlowResidualBlock(nn.Module):
 
     def __call__(self, x, condition):
         """x (B, h, W, C); condition (B, h, W, C_cond)."""
-        kh = self.kernel_size[0]
-        xp = jnp.pad(self._pad_w(x), ((0, 0), (kh - 1, 0), (0, 0), (0, 0)))
+        rh = (self.kernel_size[0] - 1) * self.dilation_h
+        xp = jnp.pad(self._pad_w(x), ((0, 0), (rh, 0), (0, 0), (0, 0)))
         return self._gate_out(self.conv(xp), condition, x)
+
+    @property
+    def buffer_rows(self) -> int:
+        """Rows of history the sampling scan must carry: the height
+        receptive field minus the current row."""
+        return (self.kernel_size[0] - 1) * self.dilation_h
 
     def step(self, rows, cond_gate_row):
         """One sampling-scan step in flat row layout.
 
-        rows (B, W, kh*C): this layer's input for the last kh rows,
-        lane-concatenated oldest first (so rows[..., -C:] is the current
-        row); cond_gate_row (B, W, 2C): the PRE-projected conditioning
+        rows (B, W, (buffer_rows+1)*C): this layer's input for the last
+        buffer_rows+1 rows, lane-concatenated oldest first (so
+        rows[..., -C:] is the current row); with height dilation only
+        every dilation_h-th row feeds the conv taps;
+        cond_gate_row (B, W, 2C): the PRE-projected conditioning
         for this row (condition_proj is hoisted out of the scan by the
         caller — it only depends on mel).  Returns
         (res_row (B, W, C), skip_row (B, W, C)).
@@ -166,6 +176,14 @@ class WaveFlowResidualBlock(nn.Module):
         bias = self.conv.variables["params"]["bias"]
         kh, kw = self.kernel_size
         c2 = kernel.shape[-1]
+        if self.dilation_h > 1:
+            # keep only the rows the dilated taps read: oldest first,
+            # every dilation_h-th row ending at the current row
+            c = self.channels
+            taps = [rows[..., i * self.dilation_h * c:
+                         (i * self.dilation_h + 1) * c]
+                    for i in range(kh)]
+            rows = jnp.concatenate(taps, axis=-1)
         # (kh, kw, C, 2C) -> (kw, kh*C, 2C)
         kmat = kernel.transpose(1, 0, 2, 3).reshape(kw, -1, c2)
         acc = None
@@ -189,19 +207,23 @@ class WaveFlowResidualBlock(nn.Module):
 
 class Flow(nn.Module):
     """One affine-coupling flow: rows 1..h-1 transformed conditioned on
-    rows < i (reference waveflow.py:395-557)."""
+    rows < i (reference waveflow.py:395-557).  ``dilations_h`` carries
+    the per-layer height dilations (all 1 for n_group <= 16; the
+    reference's dilations_dict, waveflow.py:420-426)."""
     n_layers: int = 8
     channels: int = 64
     mel_bands: int = 80
     kernel_size: Tuple[int, int] = (3, 3)
+    dilations_h: Tuple[int, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.input_proj = nn.Conv(self.channels, (1, 1), dtype=self.dtype)
+        dil_h = self.dilations_h or (1,) * self.n_layers
         self.resnet = [
             WaveFlowResidualBlock(self.channels, self.mel_bands,
                                   self.kernel_size, dilation_w=2 ** i,
-                                  dtype=self.dtype)
+                                  dilation_h=dil_h[i], dtype=self.dtype)
             for i in range(self.n_layers)]
         # zero-init so each flow starts as the identity transform
         self.output_proj = nn.Conv(
@@ -238,11 +260,10 @@ class Flow(nn.Module):
         grid (which would be n_group x redundant compute).
         """
         b, h, w = z.shape
-        kh = self.kernel_size[0]
         c = self.channels
         x0 = z[:, 0]                                  # row 0 passes through
-        bufs = tuple(jnp.zeros((b, w, (kh - 1) * c), self.dtype)
-                     for _ in range(self.n_layers))
+        bufs = tuple(jnp.zeros((b, w, block.buffer_rows * c), self.dtype)
+                     for block in self.resnet)
         carry = (x0, bufs)
         # step i consumes (z row i, condition row i-1); the per-layer
         # conditioning projections happen inside the step (hoisting them
@@ -314,10 +335,23 @@ class WaveFlow(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     dtype: jnp.dtype = jnp.float32
 
+    # per-layer height dilations by n_group (waveflow.py:420-426); the
+    # pattern repeats/caps at 8 layers, truncated/cycled for other depths
+    dilations_dict = {
+        8: (1, 1, 1, 1, 1, 1, 1, 1),
+        16: (1, 1, 1, 1, 1, 1, 1, 1),
+        32: (1, 2, 4, 1, 2, 4, 1, 2),
+        64: (1, 2, 4, 8, 16, 1, 2, 4),
+        128: (1, 2, 4, 8, 16, 32, 64, 1),
+    }
+
     def setup(self):
+        base = self.dilations_dict.get(self.n_group,
+                                       (1,) * self.n_layers)
+        dil_h = tuple(base[i % len(base)] for i in range(self.n_layers))
         self.flows = [
             Flow(self.n_layers, self.channels, self.mel_bands,
-                 self.kernel_size, dtype=self.dtype)
+                 self.kernel_size, dilations_h=dil_h, dtype=self.dtype)
             for _ in range(self.n_flows)]
 
     def __call__(self, x, condition):

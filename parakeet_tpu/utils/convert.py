@@ -152,9 +152,8 @@ def convert_waveflow(state: Dict[str, np.ndarray],
       kernel as-is, so both spatial axes are flipped here.  paddle's
       padding (1, factor // 2) equals SAME for even factors — the only
       ones the reference allows (n_group must be even).
-    - height dilations are all 1 only for n_group <= 16
-      (waveflow.py:420-426); the released ljspeech checkpoint uses
-      n_group=16.  Larger groups are rejected.
+    - height dilations (n_group >= 32, waveflow.py:420-426) do not
+      change parameter shapes; the model derives them from n_group.
     """
     for f in upsample_factors:
         if f % 2:

@@ -63,6 +63,33 @@ def test_waveflow_invertibility_nontrivial(wf):
     assert abs(float(logs_sum.sum())) > 1e-3   # genuinely non-identity
 
 
+def test_waveflow_invertibility_height_dilated():
+    """n_group >= 32 uses height-dilated convs (reference
+    waveflow.py:420-426); the scan sampler must still invert exactly."""
+    model = ConditionalWaveFlow(upsample_factors=(4, 4), n_flows=2,
+                                n_layers=3, n_group=32, channels=8,
+                                n_mels=6)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((1, 8, 6)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((1, 128)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), audio, mel)
+    # n_group=32 -> layer height dilations (1, 2, 4)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(8), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    pert = {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+    cond = model.apply(pert, mel, method=lambda m, mel: m.encoder(mel))
+    t = (cond.shape[1] // 32) * 32
+    z, logs_sum = model.apply(pert, audio[:, :t], cond[:, :t],
+                              method=lambda m, a, c: m.decoder(a, c))
+    x = model.apply(pert, z, cond[:, :t],
+                    method=lambda m, z, c: m.decoder.inverse(z, c))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(audio[:, :t]),
+                               atol=1e-3)
+    assert abs(float(logs_sum.sum())) > 1e-3
+
+
 def test_waveflow_infer_shape(wf):
     model, variables, _, mel = wf
     wav = model.apply(variables, mel, jax.random.PRNGKey(1),
