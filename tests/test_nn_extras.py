@@ -83,3 +83,53 @@ def test_drop_head():
     # exactly 2 of 8 heads zeroed per example
     zeroed = (np.abs(np.asarray(out)).sum(axis=(2, 3)) == 0).sum(axis=1)
     assert (zeroed == 2).all()
+
+
+def test_style_encoder_gst():
+    """GST: reference mel -> fixed-size style vector; token attention
+    mixes a learned bank (reference style_encoder.py:24-308)."""
+    from parakeet_tpu.nn.style_encoder import StyleEncoder
+    enc = StyleEncoder(gst_tokens=4, gst_token_dim=16, gst_heads=2,
+                       conv_layers=2, conv_chans_list=(4, 8),
+                       gru_units=12)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (3, 37, 20)).astype(np.float32))
+    v = enc.init(jax.random.PRNGKey(0), mel)
+    out = enc.apply(v, mel)
+    assert out.shape == (3, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # different references give different styles
+    out2 = enc.apply(v, mel[:, ::-1, :])
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_transformer_tts_gst_integration():
+    """TransformerTTS(use_gst=True): style from the reference mel is
+    added to the encoder output (reference transformer_tts.py:239-241,
+    519-529); zero-speech inference falls back to a zero style."""
+    from parakeet_tpu.models.transformer_tts import TransformerTTS
+    model = TransformerTTS(idim=11, odim=6, adim=16, aheads=2, elayers=1,
+                           eunits=24, dlayers=1, dunits=24,
+                           eprenet_conv_layers=0, dprenet_units=8,
+                           postnet_layers=2, postnet_chans=8,
+                           postnet_filts=3, use_gst=True, gst_tokens=3,
+                           gst_heads=2, gst_conv_layers=2,
+                           gst_conv_chans_list=(4, 8), gst_gru_units=12)
+    rng = np.random.default_rng(1)
+    text = jnp.asarray(rng.integers(1, 11, (2, 5)).astype(np.int32))
+    tl = jnp.full((2,), 5)
+    mels = jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32))
+    ol = jnp.full((2,), 8)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           text, tl, mels, ol, deterministic=False)
+    assert "gst" in variables["params"]
+    out = model.apply(variables, text, tl, mels, ol, deterministic=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out["after_outs"].shape == (2, 8, 6)
+    # style conditioning must change the prediction
+    out_rev = model.apply(variables, text, tl, mels[:, ::-1, :], ol,
+                          deterministic=True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(out["after_outs"]),
+                           np.asarray(out_rev["after_outs"]))
