@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["PWGGenerator", "PWGDiscriminator", "ResidualPWGDiscriminator",
-           "pwg_inference", "conv1d_taps", "WNConv1d", "ResidualStack"]
+           "pwg_inference", "pwg_streaming_inference", "conv1d_taps",
+           "WNConv1d", "ResidualStack"]
 
 _WN_EPS = 1e-12
 
@@ -467,6 +468,79 @@ def pwg_inference(generator: PWGGenerator, variables, mel, rng=None,
     if noise is None:
         noise = jax.random.normal(rng, (mel.shape[0], t_out, 1))
     wav = _pwg_apply(generator, variables, noise, mel)
+    return (wav[0, :, 0] if squeeze else wav[..., 0])
+
+
+def _pwg_receptive_frames(generator: PWGGenerator) -> int:
+    """Mel-frame context that fully covers the generator's one-sided
+    receptive field: the dilated residual stack (sum of dilations x
+    (k-1)/2 samples per side) plus the polyphase upsampler's few frames
+    of time taps."""
+    per = generator.layers // generator.stacks
+    rf_samples = (generator.stacks * sum(2 ** i for i in range(per))
+                  * ((generator.kernel_size - 1) // 2))
+    hop = generator.upsample_factor
+    return -(-rf_samples // hop) + 4
+
+
+def pwg_streaming_inference(generator: PWGGenerator, variables, mel,
+                            rng=None, noise=None, *,
+                            chunk_frames: int = 256,
+                            context_frames: Optional[int] = None):
+    """Chunked mel -> waveform, numerically identical to
+    :func:`pwg_inference` on the full utterance.
+
+    Production-serving path the reference lacks: each chunk of
+    ``chunk_frames`` mel frames is vocoded with ``context_frames`` of
+    overlap on both sides (>= the generator's receptive field, so the
+    kept center samples are exact), with ONE fixed-shape compiled
+    program regardless of utterance length.  Peak activation memory is
+    O(chunk) instead of O(T), and the first audio chunk is ready after
+    one chunk's latency instead of the whole utterance's.
+
+    Yields nothing — returns the assembled waveform; chunk-by-chunk
+    consumers can instead call the internals per chunk (the jit cache
+    keyed on the padded chunk shape makes that equally cheap).
+    """
+    if mel.ndim == 2:
+        mel = mel[None]
+        squeeze = True
+    else:
+        squeeze = False
+    b, t_mel, aux = mel.shape
+    w = generator.aux_context_window
+    hop = generator.upsample_factor
+    c = (_pwg_receptive_frames(generator) if context_frames is None
+         else context_frames)
+
+    # replicate-pad once (like pwg_inference), then vocode clamped
+    # fixed-size windows: every window stays inside the signal, so an
+    # edge window's boundary IS the true signal boundary and the convs'
+    # SAME zero-padding there matches the full-utterance run exactly;
+    # interior windows keep only the center, >= c frames from either
+    # window edge (past the receptive field)
+    mel_pad = jnp.pad(mel, ((0, 0), (w, w), (0, 0)), mode="edge")
+    t_out = t_mel * hop
+    if noise is None:
+        noise = jax.random.normal(rng, (b, t_out, 1))
+
+    win_inner = chunk_frames + 2 * c          # upsampled frames per window
+    if t_mel <= win_inner:                    # too short to chunk: one shot
+        wav = _pwg_apply(generator, variables, noise, mel_pad)
+        return (wav[0, :, 0] if squeeze else wav[..., 0])
+
+    pieces = []
+    for s in range(0, t_mel, chunk_frames):
+        keep = min(chunk_frames, t_mel - s)
+        w0 = min(max(s - c, 0), t_mel - win_inner)
+        mel_win = jax.lax.dynamic_slice_in_dim(
+            mel_pad, w0, win_inner + 2 * w, axis=1)
+        noise_win = jax.lax.dynamic_slice_in_dim(
+            noise, w0 * hop, win_inner * hop, axis=1)
+        wav_win = _pwg_apply(generator, variables, noise_win, mel_win)
+        off = (s - w0) * hop
+        pieces.append(wav_win[:, off:off + keep * hop])
+    wav = jnp.concatenate(pieces, axis=1)
     return (wav[0, :, 0] if squeeze else wav[..., 0])
 
 

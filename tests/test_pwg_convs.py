@@ -70,3 +70,39 @@ def test_upsamplenet_polyphase_matches_stretch_fir(kf):
             dimension_numbers=("NHWC", "HWIO", "NHWC")))
     np.testing.assert_allclose(np.asarray(got), x[..., 0],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pwg_streaming_matches_full():
+    """Chunked inference == full-utterance inference, including the
+    edge chunks (replicate mel pad + SAME-conv zero boundary)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from parakeet_tpu.models.parallel_wavegan import (
+        PWGGenerator, pwg_inference, pwg_streaming_inference)
+
+    gen = PWGGenerator(layers=6, stacks=2, residual_channels=8,
+                       gate_channels=16, skip_channels=8, aux_channels=10,
+                       aux_context_window=2, upsample_scales=(2, 2))
+    t_mel = 50
+    hop = 4
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, t_mel, 10)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal(
+        (1, t_mel * hop, 1)).astype(np.float32))
+    variables = gen.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 16, 1)), jnp.zeros((1, 8, 10)))
+
+    full = pwg_inference(gen, variables, mel, noise=noise)
+    for chunk in (16, 23):   # aligned and ragged chunking
+        stream = pwg_streaming_inference(gen, variables, mel, noise=noise,
+                                         chunk_frames=chunk)
+        assert stream.shape == full.shape
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+    # 2-D (unbatched) surface
+    full1 = pwg_inference(gen, variables, mel[0], noise=noise)
+    s1 = pwg_streaming_inference(gen, variables, mel[0], noise=noise,
+                                 chunk_frames=16)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(full1),
+                               rtol=1e-5, atol=1e-5)
