@@ -24,6 +24,7 @@ import numpy as np
 from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.data.preprocess import load_id_map
 from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
+from parakeet_tpu.models.parallel_wavegan import pwg_streaming_inference
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config
@@ -66,6 +67,8 @@ def main():
     parser.add_argument("--lang", default="zh", choices=("zh", "en"))
     parser.add_argument("--max-text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=1024)
+    parser.add_argument("--streaming-chunk-frames", type=int, default=0,
+                        help="vocode in fixed-size chunks (bit-exact, O(chunk) memory, one compile for any length); 0 = one-shot")
     add_device_arg(parser)
     args = parser.parse_args()
     set_device(args.device)
@@ -117,10 +120,14 @@ def main():
         voc_in = mel
         if voc_norm is not None:
             voc_in = np.asarray(voc_norm.transform(voc_in))
-        wav = pwg_inference(voc, {"params": voc_params},
-                            jnp.asarray(voc_in),
-                            rng=jax.random.PRNGKey(abs(hash(utt_id))
-                                                   % (2 ** 31)))
+        rng = jax.random.PRNGKey(abs(hash(utt_id)) % (2 ** 31))
+        if args.streaming_chunk_frames > 0:
+            wav = pwg_streaming_inference(
+                voc, {"params": voc_params}, jnp.asarray(voc_in), rng=rng,
+                chunk_frames=args.streaming_chunk_frames)
+        else:
+            wav = pwg_inference(voc, {"params": voc_params},
+                                jnp.asarray(voc_in), rng=rng)
         wav = np.asarray(wav).reshape(-1)
         out_path = args.output_dir / f"{utt_id}.wav"
         save_wav(out_path, wav, am_cfg.fs)

@@ -83,13 +83,13 @@ def main():
     cfg = Config.from_yaml(args.config)
     vocab_size = sum(1 for _ in open(args.phones_dict))
     model = Tacotron2(vocab_size=vocab_size, **cfg.get("model", {}))
-    params = load_variables(args.checkpoint)["params"]
+    variables = load_variables(args.checkpoint)
     norm = ZScore(*np.load(args.stat)) if args.stat else None
     vocoder, voc_fs = build_vocoder(args)
 
     @jax.jit
-    def infer(params, text, text_lengths):
-        out = model.apply({"params": params}, text, text_lengths,
+    def infer(variables, text, text_lengths):
+        out = model.apply(variables, text, text_lengths,
                           max_decoder_steps=args.max_decoder_steps,
                           rngs={"dropout": jax.random.PRNGKey(0)},
                           method=Tacotron2.infer)
@@ -100,7 +100,7 @@ def main():
         ids = row["text"][:args.max_text_len]
         text = jnp.zeros((1, args.max_text_len), jnp.int64).at[
             0, :len(ids)].set(jnp.asarray(ids))
-        mel, lengths = infer(params, text,
+        mel, lengths = infer(variables, text,
                              jnp.asarray([len(ids)], jnp.int64))
         n = int(lengths[0])
         if n == 0:

@@ -73,7 +73,7 @@ def main():
     model_kwargs = dict(cfg.get("model", {}))
     model_kwargs.setdefault("d_global_condition", 256)
     model = Tacotron2(vocab_size=len(vocab), **model_kwargs)
-    params = load_variables(args.checkpoint)["params"]
+    variables = load_variables(args.checkpoint)
     norm = ZScore(*np.load(args.stat)) if args.stat else None
     spk_emb = jnp.asarray(embed_reference(args))[None]
 
@@ -91,13 +91,14 @@ def main():
 
         def vocoder(mel):
             wav = voc_infer(jnp.asarray(mel)[None], jax.random.PRNGKey(0))
-            return np.asarray(wav)[0, :mel.shape[0] * upsample], voc_cfg.fs
+            return (np.asarray(wav)[0, :mel.shape[0] * upsample],
+                    voc_cfg.get("fs", cfg.fs))
 
     lexicon = generate_lexicon(with_tone=True, with_erhua=True)
 
     @jax.jit
-    def infer(params, text, text_lengths, spk_emb):
-        out = model.apply({"params": params}, text, text_lengths,
+    def infer(variables, text, text_lengths, spk_emb):
+        out = model.apply(variables, text, text_lengths,
                           global_condition=spk_emb,
                           max_decoder_steps=args.max_decoder_steps,
                           rngs={"dropout": jax.random.PRNGKey(0)},
@@ -115,7 +116,7 @@ def main():
         ids = ids[:args.max_text_len]
         text = jnp.zeros((1, args.max_text_len), jnp.int64).at[
             0, :len(ids)].set(jnp.asarray(ids))
-        mel, lengths = infer(params, text,
+        mel, lengths = infer(variables, text,
                              jnp.asarray([len(ids)], jnp.int64), spk_emb)
         n = int(lengths[0])
         if n == 0:

@@ -48,7 +48,7 @@ def main():
     idim = sum(1 for _ in open(args.phones_dict))
     model = TransformerTTS(idim=idim, odim=cfg.n_mels,
                            **cfg.get("model", {}))
-    params = load_variables(args.checkpoint)["params"]
+    variables = load_variables(args.checkpoint)
     norm = ZScore(*np.load(args.stat)) if args.stat else None
 
     vocoder = None
@@ -63,8 +63,8 @@ def main():
                 rng=jax.random.PRNGKey(0))), voc_cfg.fs
 
     @jax.jit
-    def infer(params, text, text_lengths):
-        out = model.apply({"params": params}, text, text_lengths,
+    def infer(variables, text, text_lengths):
+        out = model.apply(variables, text, text_lengths,
                           max_decoder_steps=args.max_decoder_steps,
                           rngs={"dropout": jax.random.PRNGKey(0)},
                           method=TransformerTTS.inference)
@@ -75,7 +75,7 @@ def main():
         ids = row["text"][:args.max_text_len]
         text = jnp.zeros((1, args.max_text_len), jnp.int64).at[
             0, :len(ids)].set(jnp.asarray(ids))
-        mel, lengths = infer(params, text,
+        mel, lengths = infer(variables, text,
                              jnp.asarray([len(ids)], jnp.int64))
         n = int(lengths[0])
         if n == 0:

@@ -88,3 +88,79 @@ def test_ge2e_preprocess_inference_chain(tmp_path):
          "--frames", 40, "--max-iteration", 2, "--save-interval", 2,
          "--device", "cpu")
     assert list((exp / "checkpoints").glob("*.npz")), "no ge2e snapshot"
+
+
+def test_voice_cloning_chain(tmp_path):
+    """GE2E embedding -> conditioned Tacotron2 -> WaveFlow, end to end
+    through the voice_cloning.py CLI on tiny random checkpoints
+    (reference flow: examples/tacotron2_aishell3/voice_cloning.ipynb)."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    from parakeet_tpu.audio.codec import save_wav
+    from parakeet_tpu.models import (ConditionalWaveFlow,
+                                     LSTMSpeakerEncoder, Tacotron2)
+    from parakeet_tpu.training.checkpoint import save_pytree
+
+    # GE2E checkpoint (CLI builds LSTMSpeakerEncoder(n_mels=40) defaults)
+    ge2e = LSTMSpeakerEncoder(n_mels=40)
+    gv = ge2e.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 40)))
+    save_pytree(tmp_path / "ge2e.npz", {"params": gv["params"]})
+
+    # tiny conditioned Tacotron2 + config
+    model_kwargs = dict(d_mels=10, d_encoder=16, encoder_conv_layers=1,
+                        encoder_kernel_size=3, d_prenet=8,
+                        d_attention_rnn=16, d_decoder_rnn=16,
+                        attention_filters=4, attention_kernel_size=5,
+                        d_attention=8, d_postnet=8, postnet_kernel_size=3,
+                        postnet_conv_layers=2, reduction_factor=1,
+                        d_global_condition=256, use_stop_token=True)
+    phones = ["a1", "b2", "c3"]
+    vocab_size = len(phones)
+    t2 = Tacotron2(vocab_size=vocab_size, **model_kwargs)
+    tv = t2.init({"params": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)},
+                 jnp.ones((1, 4), jnp.int32), jnp.full((1,), 4),
+                 jnp.zeros((1, 6, 10)), jnp.full((1,), 6),
+                 global_condition=jnp.zeros((1, 256)),
+                 deterministic=False)
+    save_pytree(tmp_path / "t2.npz",
+                {"params": tv["params"],
+                 "batch_stats": tv["batch_stats"]})
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(
+        "fs: 16000\nn_mels: 10\nmodel:\n" + "".join(
+            f"  {k}: {v}\n" for k, v in model_kwargs.items()))
+
+    # tiny WaveFlow + config (10 mel bands, x4 upsample)
+    wf_kwargs = dict(upsample_factors=[2, 2], n_flows=2, n_layers=2,
+                     n_group=4, channels=8, n_mels=10)
+    wf = ConditionalWaveFlow(**{**wf_kwargs,
+                                "upsample_factors": (2, 2)})
+    wv = wf.init(jax.random.PRNGKey(3), jnp.zeros((1, 64)),
+                 jnp.zeros((1, 16, 10)))
+    save_pytree(tmp_path / "wf.npz", {"params": wv["params"]})
+    wf_conf = tmp_path / "wf_conf.yaml"
+    wf_conf.write_text("model:\n" + "".join(
+        f"  {k}: {v}\n" for k, v in wf_kwargs.items()))
+
+    (tmp_path / "phones.txt").write_text(
+        "".join(f"{p} {i}\n" for i, p in enumerate(phones)))
+    (tmp_path / "sentences.txt").write_text("utt1 a1 b2\n")
+    rng = np.random.default_rng(0)
+    save_wav(tmp_path / "ref.wav",
+             rng.standard_normal(16000 * 2).astype(np.float32) * 0.1,
+             16000)
+
+    _run(RECIPES / "tacotron2_aishell3" / "voice_cloning.py",
+         "--config", conf, "--checkpoint", tmp_path / "t2.npz",
+         "--ge2e-checkpoint", tmp_path / "ge2e.npz",
+         "--ref-wav", tmp_path / "ref.wav",
+         "--phones-dict", tmp_path / "phones.txt",
+         "--text", tmp_path / "sentences.txt",
+         "--waveflow-config", wf_conf,
+         "--waveflow-checkpoint", tmp_path / "wf.npz",
+         "--output-dir", tmp_path / "cloned",
+         "--max-decoder-steps", "12", "--device", "cpu")
+    wavs = list((tmp_path / "cloned").glob("*.wav"))
+    assert wavs, "voice cloning produced no wav"
