@@ -57,18 +57,18 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q = q * jnp.asarray(scale, q.dtype)
 
     b, t_local, h, d = q.shape
-    # pvary: the accumulators hold device-dependent values, so their
-    # (device-invariant) zero inits must be marked varying over the ring
-    # axis for the fori_loop carry types to line up under shard_map
-    m = jax.lax.pvary(jnp.full((b, h, t_local), _NEG_INF, jnp.float32),
-                      (axis_name,))                        # running max
-    l = jax.lax.pvary(jnp.zeros((b, h, t_local), jnp.float32),
-                      (axis_name,))                        # normalizer
-    acc = jax.lax.pvary(jnp.zeros((b, h, t_local, d), jnp.float32),
-                        (axis_name,))
+
+    def _vary(x):
+        # the accumulators hold device-dependent values, so their
+        # (device-invariant) inits must be marked varying over the ring
+        # axis for the fori_loop carry types to line up under shard_map
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+
+    m = _vary(jnp.full((b, h, t_local), _NEG_INF, jnp.float32))  # run max
+    l = _vary(jnp.zeros((b, h, t_local), jnp.float32))        # normalizer
+    acc = _vary(jnp.zeros((b, h, t_local, d), jnp.float32))
     if kv_mask is None:
-        kv_mask = jax.lax.pvary(jnp.ones((b, k.shape[1]), bool),
-                                (axis_name,))
+        kv_mask = _vary(jnp.ones((b, k.shape[1]), bool))
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 

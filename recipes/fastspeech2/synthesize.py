@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--pwg-checkpoint", type=Path, required=True)
     parser.add_argument("--test-metadata", type=Path, required=True)
     parser.add_argument("--phones-dict", type=Path, required=True)
+    parser.add_argument("--speaker-dict", type=Path, default=None,
+                        help="speaker_id_map.txt for multi-speaker models"
+                             " (aishell3/vctk)")
     parser.add_argument("--output-dir", type=Path, default=Path("wavs"))
     parser.add_argument("--max-text-len", type=int, default=192)
     parser.add_argument("--max-frames", type=int, default=1024)
@@ -47,8 +50,12 @@ def main():
     voc_cfg = Config.from_yaml(args.pwg_config)
     idim = sum(1 for _ in open(args.phones_dict))
 
-    am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
-                     **am_cfg.get("model", {}))
+    model_kwargs = dict(am_cfg.get("model", {}))
+    if args.speaker_dict is not None:
+        model_kwargs.setdefault(
+            "num_speakers", sum(1 for _ in open(args.speaker_dict)))
+        model_kwargs.setdefault("spk_embed_dim", 256)
+    am = FastSpeech2(idim=idim, odim=am_cfg.n_mels, **model_kwargs)
     am_vars = load_variables(args.fastspeech2_checkpoint)
     voc = PWGGenerator(**voc_cfg.get("generator_params", {}))
     voc_params = load_variables(args.pwg_checkpoint)["params"]
@@ -56,10 +63,10 @@ def main():
                if args.fastspeech2_stat else None)
 
     @jax.jit
-    def am_infer(variables, text, text_lengths):
+    def am_infer(variables, text, text_lengths, spk_id):
         out = am.apply(variables, text, text_lengths,
                        max_frames=args.max_frames, min_duration=1,
-                       method=FastSpeech2.inference)
+                       spk_id=spk_id, method=FastSpeech2.inference)
         return out["after_outs"], out["frame_lengths"]
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
@@ -67,8 +74,10 @@ def main():
         ids = row["text"][:args.max_text_len]
         text = jnp.zeros((1, args.max_text_len), jnp.int64).at[
             0, :len(ids)].set(jnp.asarray(ids))
+        spk_id = (jnp.asarray([int(row["spk_id"])], jnp.int32)
+                  if args.speaker_dict is not None else None)
         mel, frames = am_infer(am_vars, text,
-                               jnp.asarray([len(ids)], jnp.int64))
+                               jnp.asarray([len(ids)], jnp.int64), spk_id)
         n = int(frames[0])
         if n == 0:
             print(f"skip: model predicted 0 frames")

@@ -52,7 +52,7 @@ def corpus(tmp_path_factory):
         durs = np.full(len(phones), n_frames // len(phones), np.int64)
         durs[-1] += n_frames - durs.sum()
         pd = " ".join(f"{p} {d}" for p, d in zip(phones, durs))
-        lines.append(f"{utt}|spk0|{pd}")
+        lines.append(f"{utt}|spk{i % 2}|{pd}")
     (root / "durations.txt").write_text("\n".join(lines) + "\n")
 
     config = root / "tiny.yaml"
@@ -126,6 +126,70 @@ def test_chain_fastspeech2(corpus):
          "--device", "cpu")
     snapshots = list((exp / "checkpoints").glob("*.npz"))
     assert snapshots, "no snapshot written"
+
+
+def test_chain_fastspeech2_multispeaker(corpus):
+    """Multi-speaker leg (aishell3/vctk-style): normalize with the
+    speaker map, train with --speaker-dict, batch-synthesize per
+    speaker through synthesize.py --speaker-dict (runs after
+    test_chain_fastspeech2, reusing its dump)."""
+    root = corpus
+    dump = root / "dump"
+    spk_dict = dump / "speaker_id_map.txt"
+    assert spk_dict.exists()
+    assert sum(1 for _ in open(spk_dict)) == 2
+
+    norm_train = root / "norm_spk" / "train"
+    norm_dev = root / "norm_spk" / "dev"
+    for meta, out in (("metadata_train.jsonl", norm_train),
+                      ("metadata_dev.jsonl", norm_dev)):
+        _run(RECIPES / "fastspeech2" / "normalize.py",
+             "--metadata", dump / meta, "--dumpdir", out,
+             "--phones-dict", dump / "phone_id_map.txt",
+             "--speaker-dict", spk_dict, "--stats-dir", dump)
+
+    exp = root / "exp_spk"
+    _run(RECIPES / "fastspeech2" / "train.py",
+         "--config", root / "tiny.yaml",
+         "--train-metadata", norm_train / "metadata.jsonl",
+         "--dev-metadata", norm_dev / "metadata.jsonl",
+         "--output-dir", exp,
+         "--phones-dict", dump / "phone_id_map.txt",
+         "--speaker-dict", spk_dict, "--device", "cpu")
+    snapshots = sorted((exp / "checkpoints").glob("*.npz"))
+    assert snapshots, "no multi-speaker snapshot written"
+
+    # tiny PWG init checkpoint (no GAN training needed for the CLI path)
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import PWGGenerator
+    from parakeet_tpu.training.checkpoint import save_pytree
+    voc_cfg = root / "pwg_synth.yaml"
+    voc_cfg.write_text(
+        "fs: 24000\nn_mels: 20\ngenerator_params:\n  layers: 2\n"
+        "  stacks: 1\n  residual_channels: 4\n  gate_channels: 8\n"
+        "  skip_channels: 4\n  aux_channels: 20\n  aux_context_window: 1\n"
+        "  upsample_scales: [4, 5, 3, 5]\n")
+    gen = PWGGenerator(layers=2, stacks=1, residual_channels=4,
+                       gate_channels=8, skip_channels=4, aux_channels=20,
+                       aux_context_window=1, upsample_scales=(4, 5, 3, 5))
+    gv = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 1)),
+                  jnp.zeros((1, 3, 20)))
+    save_pytree(root / "pwg_synth.npz", {"params": gv["params"]})
+
+    out_dir = root / "wavs_spk"
+    _run(RECIPES / "fastspeech2" / "synthesize.py",
+         "--fastspeech2-config", root / "tiny.yaml",
+         "--fastspeech2-checkpoint", snapshots[-1],
+         "--fastspeech2-stat", dump / "speech_stats.npy",
+         "--pwg-config", voc_cfg,
+         "--pwg-checkpoint", root / "pwg_synth.npz",
+         "--test-metadata", norm_dev / "metadata.jsonl",
+         "--phones-dict", dump / "phone_id_map.txt",
+         "--speaker-dict", spk_dict,
+         "--output-dir", out_dir, "--max-frames", 256,
+         "--device", "cpu")
+    assert list(out_dir.glob("*.wav")), "no multi-speaker wav produced"
 
 
 def test_chain_pwgan_and_e2e(corpus):
