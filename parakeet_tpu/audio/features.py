@@ -91,12 +91,17 @@ def average_by_duration(values: np.ndarray, durations: np.ndarray
 
 
 class Pitch:
-    """Frame-level fundamental-frequency extractor (YIN).
+    """Frame-level fundamental-frequency extractor.
 
     Same interface/post-processing as the reference's pyworld-based Pitch
     (parakeet/data/get_feats.py:91-164): frames every ``hop_length`` samples,
     0 marks unvoiced; options for continuous interpolation, log-f0, and
     token averaging by duration.
+
+    ``method``: "auto" uses pyworld's dio+stonemask (the reference's
+    exact estimator) when the optional pyworld package is installed and
+    falls back to the self-contained YIN implementation otherwise;
+    "world" requires pyworld; "yin" forces the fallback.
     """
 
     def __init__(self,
@@ -104,7 +109,18 @@ class Pitch:
                  hop_length: int = 300,
                  f0min: float = 80,
                  f0max: float = 7600,
-                 threshold: float = 0.15):
+                 threshold: float = 0.15,
+                 method: str = "auto"):
+        if method not in ("auto", "world", "yin"):
+            raise ValueError(f"unknown pitch method {method!r}")
+        self._pyworld = None
+        if method in ("auto", "world"):
+            try:
+                import pyworld
+                self._pyworld = pyworld
+            except ImportError:
+                if method == "world":
+                    raise
         self.sr = sr
         self.hop_length = hop_length
         self.f0min = max(f0min, 1.0)
@@ -202,13 +218,24 @@ class Pitch:
         idx = np.arange(len(f0))
         return np.interp(idx, nz, f0[nz])
 
+    def _world_f0(self, wav: np.ndarray) -> np.ndarray:
+        """pyworld dio + stonemask, exactly the reference estimator
+        (get_feats.py:121-137)."""
+        x = np.ascontiguousarray(wav, dtype=np.float64)
+        frame_period = 1000.0 * self.hop_length / self.sr
+        f0, timeaxis = self._pyworld.dio(
+            x, fs=self.sr, f0_floor=self.f0min, f0_ceil=self.f0max,
+            frame_period=frame_period)
+        return self._pyworld.stonemask(x, f0, timeaxis, self.sr)
+
     def get_pitch(self,
                   wav: np.ndarray,
                   use_continuous_f0: bool = True,
                   use_log_f0: bool = True,
                   use_token_averaged_f0: bool = True,
                   duration: np.ndarray | None = None) -> np.ndarray:
-        f0 = self._yin_f0(wav)
+        f0 = (self._world_f0(wav) if self._pyworld is not None
+              else self._yin_f0(wav))
         if use_continuous_f0:
             f0 = self._continuous_f0(f0)
         if use_log_f0:
