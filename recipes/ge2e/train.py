@@ -18,7 +18,9 @@ from parakeet_tpu.training.optimizer import build_optimizer
 from parakeet_tpu.models.ge2e_updater import (init_ge2e_train_state,
                                               make_ge2e_train_step)
 from parakeet_tpu.training.seeding import seed_everything
-from parakeet_tpu.utils.device import add_device_arg, set_device
+from parakeet_tpu.utils.device import (add_device_arg,
+                                       maybe_initialize_multihost,
+                                       set_device)
 
 
 class MultiSpeakerSampler:
@@ -71,6 +73,7 @@ def main():
     add_device_arg(parser)
     args = parser.parse_args()
     set_device(args.device)
+    maybe_initialize_multihost()
 
     seed_everything(args.seed)
     sampler = MultiSpeakerSampler(args.data_root, args.speakers_per_batch,

@@ -24,7 +24,9 @@ from parakeet_tpu.training.optimizer import build_optimizer
 from parakeet_tpu.training.seeding import seed_everything
 from parakeet_tpu.training.trainer import Trainer
 from parakeet_tpu.training.updater import StandardUpdater
-from parakeet_tpu.utils.device import add_device_arg, set_device
+from parakeet_tpu.utils.device import (add_device_arg,
+                                       maybe_initialize_multihost,
+                                       set_device)
 
 
 class WaveFlowClip:
@@ -80,6 +82,7 @@ def main():
                              "batch_size must be divisible by this)")
     args = parser.parse_args()
     set_device(args.device)
+    maybe_initialize_multihost()
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
     seed_everything(cfg.get("seed", 0))
