@@ -92,7 +92,9 @@ seed: 1
     return root
 
 
-def test_chain_fastspeech2(corpus):
+@pytest.fixture(scope="module")
+def fs2_prepared(corpus):
+    """fastspeech2 preprocess + normalize (single-speaker) once."""
     root = corpus
     dump = root / "dump"
     _run(RECIPES / "fastspeech2" / "preprocess.py",
@@ -100,9 +102,6 @@ def test_chain_fastspeech2(corpus):
          root / "durations.txt", "--dumpdir", dump,
          "--config", root / "tiny.yaml",
          "--dev-size", 2, "--test-size", 0)
-    assert (dump / "metadata_train.jsonl").exists()
-    assert (dump / "phone_id_map.txt").exists()
-
     norm_train = root / "norm" / "train"
     norm_dev = root / "norm" / "dev"
     _run(RECIPES / "fastspeech2" / "normalize.py",
@@ -114,21 +113,89 @@ def test_chain_fastspeech2(corpus):
          "--metadata", dump / "metadata_dev.jsonl",
          "--dumpdir", norm_dev, "--phones-dict",
          dump / "phone_id_map.txt", "--stats-dir", dump)
-    assert (dump / "speech_stats.npy").exists()
+    return {"dump": dump, "norm_train": norm_train, "norm_dev": norm_dev}
 
+
+@pytest.fixture(scope="module")
+def fs2_trained(corpus, fs2_prepared):
+    """one-epoch fastspeech2 training once; returns the exp dir."""
+    root = corpus
     exp = root / "exp"
     _run(RECIPES / "fastspeech2" / "train.py",
          "--config", root / "tiny.yaml",
-         "--train-metadata", norm_train / "metadata.jsonl",
-         "--dev-metadata", norm_dev / "metadata.jsonl",
+         "--train-metadata", fs2_prepared["norm_train"] / "metadata.jsonl",
+         "--dev-metadata", fs2_prepared["norm_dev"] / "metadata.jsonl",
          "--output-dir", exp,
-         "--phones-dict", dump / "phone_id_map.txt",
+         "--phones-dict", fs2_prepared["dump"] / "phone_id_map.txt",
          "--device", "cpu")
-    snapshots = list((exp / "checkpoints").glob("*.npz"))
+    return exp
+
+
+PWG_TINY_YAML = """\
+fs: 24000
+n_fft: 512
+n_shift: 300
+win_length: 512
+fmin: 80
+fmax: 7600
+n_mels: 20
+generator_params:
+  layers: 2
+  stacks: 1
+  residual_channels: 4
+  gate_channels: 8
+  skip_channels: 4
+  aux_context_window: 1
+  upsample_scales: [4, 5, 3, 5]
+discriminator_params:
+  layers: 3
+  conv_channels: 4
+updater:
+  lambda_adv: 4.0
+  discriminator_train_start_steps: 1
+stft_loss_params:
+  fft_sizes: [256]
+  hop_sizes: [64]
+  win_lengths: [128]
+batch_size: 2
+batch_max_steps: 6000
+generator_optimizer:
+  optim: adam
+  learning_rate: 0.0001
+discriminator_optimizer:
+  optim: adam
+  learning_rate: 0.00005
+train_max_steps: 3
+eval_interval_steps: 2
+save_interval_steps: 2
+num_snapshots: 1
+seed: 1
+"""
+
+
+@pytest.fixture(scope="module")
+def pwg_prepared(corpus):
+    """pwgan preprocess once (wave + feats dumps shared with waveflow)."""
+    root = corpus
+    voc_cfg = root / "pwg_tiny.yaml"
+    voc_cfg.write_text(PWG_TINY_YAML)
+    dump = root / "pwg_dump"
+    _run(RECIPES / "pwgan" / "preprocess.py",
+         "--rootdir", root / "wavs", "--dumpdir", dump,
+         "--config", voc_cfg, "--dev-size", 2)
+    return {"cfg": voc_cfg, "dump": dump}
+
+
+def test_chain_fastspeech2(corpus, fs2_prepared, fs2_trained):
+    dump = fs2_prepared["dump"]
+    assert (dump / "metadata_train.jsonl").exists()
+    assert (dump / "phone_id_map.txt").exists()
+    assert (dump / "speech_stats.npy").exists()
+    snapshots = list((fs2_trained / "checkpoints").glob("*.npz"))
     assert snapshots, "no snapshot written"
 
 
-def test_chain_fastspeech2_multispeaker(corpus):
+def test_chain_fastspeech2_multispeaker(corpus, fs2_prepared):
     """Multi-speaker leg (aishell3/vctk-style): normalize with the
     speaker map, train with --speaker-dict, batch-synthesize per
     speaker through synthesize.py --speaker-dict (runs after
@@ -192,53 +259,11 @@ def test_chain_fastspeech2_multispeaker(corpus):
     assert list(out_dir.glob("*.wav")), "no multi-speaker wav produced"
 
 
-def test_chain_pwgan_and_e2e(corpus):
+def test_chain_pwgan_and_e2e(corpus, fs2_prepared, fs2_trained,
+                             pwg_prepared):
     root = corpus
-    voc_cfg = root / "pwg_tiny.yaml"
-    voc_cfg.write_text("""\
-fs: 24000
-n_fft: 512
-n_shift: 300
-win_length: 512
-fmin: 80
-fmax: 7600
-n_mels: 20
-generator_params:
-  layers: 2
-  stacks: 1
-  residual_channels: 4
-  gate_channels: 8
-  skip_channels: 4
-  aux_context_window: 1
-  upsample_scales: [4, 5, 3, 5]
-discriminator_params:
-  layers: 3
-  conv_channels: 4
-updater:
-  lambda_adv: 4.0
-  discriminator_train_start_steps: 1
-stft_loss_params:
-  fft_sizes: [256]
-  hop_sizes: [64]
-  win_lengths: [128]
-batch_size: 2
-batch_max_steps: 6000
-generator_optimizer:
-  optim: adam
-  learning_rate: 0.0001
-discriminator_optimizer:
-  optim: adam
-  learning_rate: 0.00005
-train_max_steps: 3
-eval_interval_steps: 2
-save_interval_steps: 2
-num_snapshots: 1
-seed: 1
-""")
-    dump = root / "pwg_dump"
-    _run(RECIPES / "pwgan" / "preprocess.py",
-         "--rootdir", root / "wavs", "--dumpdir", dump,
-         "--config", voc_cfg, "--dev-size", 2)
+    voc_cfg = pwg_prepared["cfg"]
+    dump = pwg_prepared["dump"]
     exp = root / "pwg_exp"
     _run(RECIPES / "pwgan" / "train.py",
          "--config", voc_cfg,
@@ -251,9 +276,9 @@ seed: 1
     assert snapshots, "no vocoder snapshot"
 
     # ---- e2e: text -> FS2 -> PWG -> wav --------------------------------
-    fs2_snap = sorted((root / "exp" / "checkpoints").glob("*.npz"))[-1]
+    fs2_snap = sorted((fs2_trained / "checkpoints").glob("*.npz"))[-1]
     text_file = root / "sentences.txt"
-    text_file.write_text("demo001 你好。\n")
+    text_file.write_text("demo001 \u4f60\u597d\u3002\n")
     outdir = root / "wavs_out"
     _run(RECIPES / "fastspeech2" / "synthesize_e2e.py",
          "--fastspeech2-config", root / "tiny.yaml",
@@ -270,3 +295,163 @@ seed: 1
     from parakeet_tpu.audio.codec import load_wav
     wav, sr = load_wav(wavs[0])
     assert sr == 24000 and len(wav) > 0
+
+
+def test_chain_tacotron2_waveflow(corpus, fs2_prepared,
+                                  pwg_prepared):
+    """AR leg: train Tacotron2 and WaveFlow for a few steps through the
+    real CLIs on the dumps produced by the earlier legs, then decode +
+    vocode via tacotron2/synthesize.py (exercises the full-variables
+    checkpoint path the AR CLIs load)."""
+    root = corpus
+    dump = fs2_prepared["dump"]
+    norm_train = fs2_prepared["norm_train"]
+    norm_dev = fs2_prepared["norm_dev"]
+
+    t2_cfg = root / "t2_tiny.yaml"
+    t2_cfg.write_text("""\
+fs: 24000
+n_mels: 20
+model:
+  d_mels: 20
+  d_encoder: 16
+  encoder_conv_layers: 1
+  encoder_kernel_size: 3
+  d_prenet: 8
+  d_attention_rnn: 16
+  d_decoder_rnn: 16
+  attention_filters: 4
+  attention_kernel_size: 5
+  d_attention: 8
+  d_postnet: 8
+  postnet_kernel_size: 3
+  postnet_conv_layers: 2
+  reduction_factor: 1
+  use_stop_token: true
+updater:
+  use_stop_token_loss: true
+  use_guided_attention_loss: false
+optimizer:
+  optim: adam
+  learning_rate: 0.001
+batch_size: 2
+max_epoch: 1
+num_snapshots: 1
+seed: 1
+""")
+    t2_exp = root / "t2_exp"
+    _run(RECIPES / "tacotron2" / "train.py",
+         "--config", t2_cfg,
+         "--train-metadata", norm_train / "metadata.jsonl",
+         "--dev-metadata", norm_dev / "metadata.jsonl",
+         "--output-dir", t2_exp,
+         "--phones-dict", dump / "phone_id_map.txt", "--device", "cpu")
+    t2_snap = sorted((t2_exp / "checkpoints").glob("*.npz"))
+    assert t2_snap, "no tacotron2 snapshot"
+
+    wf_cfg = root / "wf_tiny.yaml"
+    wf_cfg.write_text("""\
+fs: 24000
+n_shift: 300
+n_mels: 20
+model:
+  upsample_factors: [15, 20]
+  n_flows: 2
+  n_layers: 2
+  n_group: 4
+  channels: 8
+  n_mels: 20
+clip_frames: 12
+optimizer:
+  optim: adam
+  learning_rate: 0.0002
+batch_size: 2
+max_iteration: 3
+valid_interval: 2
+save_interval: 2
+num_snapshots: 1
+seed: 1
+""")
+    wf_exp = root / "wf_exp"
+    pwg_dump = pwg_prepared["dump"]
+    _run(RECIPES / "waveflow" / "train.py",
+         "--config", wf_cfg,
+         "--train-metadata", pwg_dump / "metadata_train.jsonl",
+         "--dev-metadata", pwg_dump / "metadata_dev.jsonl",
+         "--output-dir", wf_exp, "--device", "cpu")
+    wf_snap = sorted((wf_exp / "checkpoints").glob("*.npz"))
+    assert wf_snap, "no waveflow snapshot"
+
+    out_dir = root / "t2_wavs"
+    _run(RECIPES / "tacotron2" / "synthesize.py",
+         "--config", t2_cfg, "--checkpoint", t2_snap[-1],
+         "--stat", dump / "speech_stats.npy",
+         "--test-metadata", norm_dev / "metadata.jsonl",
+         "--phones-dict", dump / "phone_id_map.txt",
+         "--waveflow-config", wf_cfg,
+         "--waveflow-checkpoint", wf_snap[-1],
+         "--output-dir", out_dir,
+         "--max-decoder-steps", 16, "--device", "cpu")
+    assert list(out_dir.glob("*.wav")), "no tacotron2+waveflow wav"
+
+
+def test_chain_transformer_tts(corpus, fs2_prepared):
+    """TransformerTTS train -> AR synthesize (mel .npy, no vocoder)."""
+    root = corpus
+    dump = fs2_prepared["dump"]
+    norm_train = fs2_prepared["norm_train"]
+    norm_dev = fs2_prepared["norm_dev"]
+
+    cfg = root / "ttts_tiny.yaml"
+    cfg.write_text("""\
+fs: 24000
+n_mels: 20
+model:
+  adim: 16
+  aheads: 2
+  elayers: 1
+  eunits: 32
+  dlayers: 1
+  dunits: 32
+  eprenet_conv_layers: 0
+  dprenet_units: 8
+  postnet_layers: 2
+  postnet_chans: 8
+  postnet_filts: 3
+  reduction_factor: 1
+updater:
+  loss_type: L1
+  use_guided_attn_loss: true
+  guided_attn_sigma: 0.4
+  guided_attn_lambda: 10.0
+  num_layers_applied_guided_attn: 1
+  num_heads_applied_guided_attn: 2
+  bce_pos_weight: 5.0
+optimizer:
+  optim: adam
+  learning_rate: 0.001
+batch_size: 2
+max_epoch: 1
+num_snapshots: 1
+seed: 1
+""")
+    exp = root / "ttts_exp"
+    _run(RECIPES / "transformer_tts" / "train.py",
+         "--config", cfg,
+         "--train-metadata", norm_train / "metadata.jsonl",
+         "--dev-metadata", norm_dev / "metadata.jsonl",
+         "--output-dir", exp,
+         "--phones-dict", dump / "phone_id_map.txt", "--device", "cpu")
+    snap = sorted((exp / "checkpoints").glob("*.npz"))
+    assert snap, "no transformer_tts snapshot"
+
+    out_dir = root / "ttts_out"
+    _run(RECIPES / "transformer_tts" / "synthesize.py",
+         "--config", cfg, "--checkpoint", snap[-1],
+         "--stat", dump / "speech_stats.npy",
+         "--test-metadata", norm_dev / "metadata.jsonl",
+         "--phones-dict", dump / "phone_id_map.txt",
+         "--output-dir", out_dir,
+         "--max-decoder-steps", 12, "--device", "cpu")
+    assert (list(out_dir.glob("*.npy")) or list(out_dir.glob("*.wav"))), \
+        "transformer_tts synthesize produced nothing"
