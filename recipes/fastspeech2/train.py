@@ -84,12 +84,18 @@ def main():
     if spk_num is not None:
         model_kwargs.setdefault("num_speakers", spk_num)
         model_kwargs.setdefault("spk_embed_dim", 256)
+    init_type = model_kwargs.pop("init_type", None)
     model = FastSpeech2(idim=idim, odim=odim, **model_kwargs)
     opt_cfg = cfg.get("optimizer", {})
     tx = build_optimizer(opt_cfg.get("optim", "adam"),
                          opt_cfg.get("learning_rate", 1e-3))
     state = init_fs2_train_state(model, tx, jax.random.PRNGKey(
         cfg.get("seed", 0)), sample)
+    if init_type:
+        from parakeet_tpu.nn.initializer import initialize_pytree
+        state = state.replace(params=initialize_pytree(
+            state.params, jax.random.PRNGKey(cfg.get("seed", 0) + 1),
+            init_type))
     train_step = make_fs2_train_step(model, tx,
                                      **cfg.get("updater", {}))
     eval_step = make_fs2_eval_step(model, **cfg.get("updater", {}))

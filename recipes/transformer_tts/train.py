@@ -59,12 +59,19 @@ def main():
 
     idim = sum(1 for _ in open(args.phones_dict))
     odim = sample["speech"].shape[-1]
-    model = TransformerTTS(idim=idim, odim=odim, **cfg.get("model", {}))
+    model_kwargs = dict(cfg.get("model", {}))
+    init_type = model_kwargs.pop("init_type", None)
+    model = TransformerTTS(idim=idim, odim=odim, **model_kwargs)
     opt_cfg = cfg.get("optimizer", {})
     tx = build_optimizer(opt_cfg.get("optim", "adam"),
                          opt_cfg.get("learning_rate", 1e-3))
     state = init_transformer_tts_train_state(
         model, tx, jax.random.PRNGKey(cfg.get("seed", 0)), sample)
+    if init_type:
+        from parakeet_tpu.nn.initializer import initialize_pytree
+        state = state.replace(params=initialize_pytree(
+            state.params, jax.random.PRNGKey(cfg.get("seed", 0) + 1),
+            init_type))
     upd = cfg.get("updater", {})
     train_step = make_transformer_tts_train_step(model, tx, **upd)
     eval_step = make_transformer_tts_eval_step(model, **upd)

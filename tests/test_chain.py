@@ -67,6 +67,7 @@ n_mels: 20
 f0min: 80
 f0max: 400
 model:
+  init_type: xavier_uniform
   adim: 16
   aheads: 2
   elayers: 1

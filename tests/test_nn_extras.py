@@ -133,3 +133,30 @@ def test_transformer_tts_gst_integration():
                           rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(out["after_outs"]),
                            np.asarray(out_rev["after_outs"]))
+
+
+def test_initialize_pytree_dispatch():
+    """Global init dispatch (reference nets_utils.py:128-165): rank>=2
+    leaves are redrawn from the scheme, rank<2 leaves are untouched."""
+    import pytest
+    from parakeet_tpu.nn.initializer import initialize_pytree
+    params = {"dense": {"kernel": jnp.ones((64, 32)), "bias": jnp.ones(32)},
+              "conv": {"kernel": jnp.ones((3, 8, 16))},
+              "norm": {"scale": jnp.ones(16)},
+              "pos": {"alpha": jnp.ones(1)}}
+    out = initialize_pytree(params, jax.random.PRNGKey(0), "xavier_uniform")
+    k = np.asarray(out["dense"]["kernel"])
+    limit = np.sqrt(6.0 / (64 + 32))
+    assert k.std() > 0 and np.abs(k).max() <= limit + 1e-6
+    np.testing.assert_array_equal(np.asarray(out["dense"]["bias"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["norm"]["scale"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["pos"]["alpha"]), 1.0)
+    # conv fans include the receptive field: 3*8 in, 3*16 out
+    c = np.asarray(out["conv"]["kernel"])
+    assert np.abs(c).max() <= np.sqrt(6.0 / (24 + 48)) + 1e-6
+    # kaiming differs from xavier
+    out2 = initialize_pytree(params, jax.random.PRNGKey(0),
+                             "kaiming_normal")
+    assert not np.allclose(np.asarray(out2["dense"]["kernel"]), k)
+    with pytest.raises(ValueError):
+        initialize_pytree(params, jax.random.PRNGKey(0), "bogus")
