@@ -53,6 +53,8 @@ class FastSpeech2(nn.Module):
     positionwise_layer_type: str = "conv1d"
     positionwise_conv_kernel_size: int = 1
     use_scaled_pos_enc: bool = True
+    init_enc_alpha: float = 1.0
+    init_dec_alpha: float = 1.0
     use_batch_norm: bool = True
     encoder_normalize_before: bool = True
     decoder_normalize_before: bool = True
@@ -107,6 +109,7 @@ class FastSpeech2(nn.Module):
                 self.transformer_enc_positional_dropout_rate),
             attn_dropout_rate=self.transformer_enc_attn_dropout_rate,
             use_scaled_pos_enc=self.use_scaled_pos_enc,
+            init_alpha=self.init_enc_alpha,
             normalize_before=self.encoder_normalize_before,
             concat_after=self.encoder_concat_after,
             positionwise_layer_type=self.positionwise_layer_type,
@@ -121,6 +124,7 @@ class FastSpeech2(nn.Module):
                 self.transformer_dec_positional_dropout_rate),
             attn_dropout_rate=self.transformer_dec_attn_dropout_rate,
             use_scaled_pos_enc=self.use_scaled_pos_enc,
+            init_alpha=self.init_dec_alpha,
             normalize_before=self.decoder_normalize_before,
             concat_after=self.decoder_concat_after,
             positionwise_layer_type=self.positionwise_layer_type,

@@ -116,6 +116,9 @@ class TransformerTTS(nn.Module):
     transformer_dec_dropout_rate: float = 0.1
     transformer_dec_positional_dropout_rate: float = 0.1
     transformer_dec_attn_dropout_rate: float = 0.1
+    transformer_enc_dec_attn_dropout_rate: float = 0.1
+    init_enc_alpha: float = 1.0
+    init_dec_alpha: float = 1.0
     eprenet_dropout_rate: float = 0.5
     dprenet_dropout_rate: float = 0.5
     postnet_dropout_rate: float = 0.5
@@ -141,6 +144,7 @@ class TransformerTTS(nn.Module):
                 self.transformer_enc_positional_dropout_rate),
             attn_dropout_rate=self.transformer_enc_attn_dropout_rate,
             use_scaled_pos_enc=self.use_scaled_pos_enc,
+            init_alpha=self.init_enc_alpha,
             normalize_before=self.encoder_normalize_before,
             concat_after=self.encoder_concat_after,
             positionwise_layer_type=self.positionwise_layer_type,
@@ -167,7 +171,10 @@ class TransformerTTS(nn.Module):
             positional_dropout_rate=(
                 self.transformer_dec_positional_dropout_rate),
             attn_dropout_rate=self.transformer_dec_attn_dropout_rate,
+            src_attn_dropout_rate=(
+                self.transformer_enc_dec_attn_dropout_rate),
             use_scaled_pos_enc=self.use_scaled_pos_enc,
+            init_alpha=self.init_dec_alpha,
             normalize_before=self.decoder_normalize_before,
             concat_after=self.decoder_concat_after,
             input_layer=None, dtype=self.dtype)

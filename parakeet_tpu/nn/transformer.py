@@ -34,10 +34,15 @@ _NEG_INF = -1e9
 
 
 class PositionalEncoding(nn.Module):
-    """x * sqrt(d) + PE, then dropout (ESPnet convention)."""
+    """x * sqrt(d) + PE, then dropout (ESPnet convention).
+
+    ``init_alpha``: initial value of the learnable scale of the scaled
+    variant (reference transformer_tts.py:370-386 _reset_parameters).
+    """
     d_model: int
     dropout_rate: float = 0.1
     scaled: bool = False  # learnable alpha variant: x + alpha * PE
+    init_alpha: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,15 +53,18 @@ class PositionalEncoding(nn.Module):
                                         start_pos=start_pos,
                                         dtype=self.dtype)[None]
         if self.scaled:
-            alpha = self.param("alpha", nn.initializers.ones, (1,))
+            alpha = self.param(
+                "alpha", nn.initializers.constant(self.init_alpha), (1,))
             x = x + alpha.astype(self.dtype) * pe
         else:
             x = x * jnp.sqrt(jnp.asarray(self.d_model, self.dtype)) + pe
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
-def ScaledPositionalEncoding(d_model, dropout_rate=0.1, dtype=jnp.float32):
-    return PositionalEncoding(d_model, dropout_rate, scaled=True, dtype=dtype)
+def ScaledPositionalEncoding(d_model, dropout_rate=0.1, init_alpha=1.0,
+                             dtype=jnp.float32):
+    return PositionalEncoding(d_model, dropout_rate, scaled=True,
+                              init_alpha=init_alpha, dtype=dtype)
 
 
 class MultiHeadAttention(nn.Module):
@@ -234,6 +242,7 @@ class TransformerEncoder(nn.Module):
     positional_dropout_rate: float = 0.1
     attn_dropout_rate: float = 0.0
     use_scaled_pos_enc: bool = True
+    init_alpha: float = 1.0
     normalize_before: bool = True
     concat_after: bool = False
     positionwise_layer_type: str = "conv1d"
@@ -257,7 +266,8 @@ class TransformerEncoder(nn.Module):
             raise ValueError(f"unknown input_layer {self.input_layer!r}")
         x = PositionalEncoding(
             self.d_model, self.positional_dropout_rate,
-            scaled=self.use_scaled_pos_enc, dtype=self.dtype,
+            scaled=self.use_scaled_pos_enc, init_alpha=self.init_alpha,
+            dtype=self.dtype,
             name="pos_enc")(x, deterministic=deterministic)
 
         attns = []
@@ -287,6 +297,7 @@ class DecoderLayer(nn.Module):
     units: int
     dropout_rate: float = 0.1
     attn_dropout_rate: float = 0.0
+    src_attn_dropout_rate: Optional[float] = None  # None: attn_dropout_rate
     normalize_before: bool = True
     concat_after: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -314,8 +325,11 @@ class DecoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        src_rate = (self.attn_dropout_rate
+                    if self.src_attn_dropout_rate is None
+                    else self.src_attn_dropout_rate)
         ca_out, ca_w, _ = MultiHeadAttention(
-            self.n_heads, self.d_model, self.attn_dropout_rate,
+            self.n_heads, self.d_model, src_rate,
             dtype=self.dtype, name="src_attn")(
                 x, memory, memory, cross_mask, deterministic=deterministic)
         if self.concat_after:
@@ -353,7 +367,9 @@ class TransformerDecoder(nn.Module):
     dropout_rate: float = 0.1
     positional_dropout_rate: float = 0.1
     attn_dropout_rate: float = 0.0
+    src_attn_dropout_rate: Optional[float] = None
     use_scaled_pos_enc: bool = True
+    init_alpha: float = 1.0
     normalize_before: bool = True
     concat_after: bool = False
     input_layer: Optional[str] = None
@@ -367,7 +383,8 @@ class TransformerDecoder(nn.Module):
             x = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
         x = PositionalEncoding(
             self.d_model, self.positional_dropout_rate,
-            scaled=self.use_scaled_pos_enc, dtype=self.dtype,
+            scaled=self.use_scaled_pos_enc, init_alpha=self.init_alpha,
+            dtype=self.dtype,
             name="pos_enc")(x, deterministic=deterministic,
                             start_pos=start_pos)
         self_attns, cross_attns, new_caches = [], [], []
@@ -376,6 +393,7 @@ class TransformerDecoder(nn.Module):
             x, (sa, ca), nc = DecoderLayer(
                 self.d_model, self.n_heads, self.units,
                 self.dropout_rate, self.attn_dropout_rate,
+                self.src_attn_dropout_rate,
                 self.normalize_before, self.concat_after,
                 dtype=self.dtype, name=f"layer_{i}")(
                     x, memory, self_mask, cross_mask,

@@ -160,3 +160,34 @@ def test_initialize_pytree_dispatch():
     assert not np.allclose(np.asarray(out2["dense"]["kernel"]), k)
     with pytest.raises(ValueError):
         initialize_pytree(params, jax.random.PRNGKey(0), "bogus")
+
+
+def test_init_alpha_plumbing():
+    """init_enc_alpha/init_dec_alpha set the initial scaled-positional-
+    encoding alpha (reference fastspeech2.py:115-116, transformer_tts.py
+    _reset_parameters)."""
+    from parakeet_tpu.models.fastspeech2 import FastSpeech2
+    model = FastSpeech2(idim=11, odim=6, adim=16, aheads=2, elayers=1,
+                        eunits=24, dlayers=1, dunits=24,
+                        postnet_layers=1, postnet_chans=8, postnet_filts=3,
+                        duration_predictor_chans=8,
+                        pitch_predictor_chans=8, energy_predictor_chans=8,
+                        init_enc_alpha=2.0, init_dec_alpha=0.5)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 11, (2, 5)).astype(np.int32))
+    tl = jnp.full((2,), 5)
+    mels = jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32))
+    ol = jnp.full((2,), 8)
+    durs = jnp.asarray([[2, 2, 2, 1, 1]] * 2, jnp.int32)
+    pitch = jnp.zeros((2, 5, 1))
+    energy = jnp.zeros((2, 5, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           text, tl, mels, ol, durs, pitch, energy,
+                           deterministic=True)
+    enc_a = np.asarray(
+        variables["params"]["encoder"]["pos_enc"]["alpha"])
+    dec_a = np.asarray(
+        variables["params"]["decoder"]["pos_enc"]["alpha"])
+    np.testing.assert_allclose(enc_a, 2.0)
+    np.testing.assert_allclose(dec_a, 0.5)
