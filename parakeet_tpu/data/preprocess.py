@@ -16,7 +16,7 @@ import numpy as np
 __all__ = [
     "read_duration_file", "merge_silence", "build_phone_id_map",
     "build_phone_tone_id_maps", "build_spk_id_map", "load_id_map",
-    "reconcile_durations", "RunningStats",
+    "reconcile_durations", "cut_silence", "RunningStats",
 ]
 
 Sentence = Dict[str, list]  # utt -> [phones, durations, speaker]
@@ -63,6 +63,30 @@ def merge_silence(sentences: Sentence, long_sp_threshold: int = 14) -> None:
             for p, d in zip(new_p, new_d)
         ]
         sentences[utt] = [new_p, new_d, speaker]
+
+
+def cut_silence(wav: np.ndarray, phones: List[str], durations: List[int],
+                n_shift: int, sil_phone: str = "sil"):
+    """Trim a leading/trailing silence phone from the utterance.
+
+    Mirrors the reference recipe's cut_sil branch (reference:
+    examples/GANVocoder/preprocess.py:61-75): drop the first/last phone
+    when it is ``sil`` (keeping at least one phone), slice the waveform
+    to the remaining duration span (frames * n_shift samples).
+
+    Returns ``(wav, phones, durations)`` — new lists, input untouched.
+    """
+    phones = list(phones)
+    durations = [int(d) for d in durations]
+    start_f = 0
+    end_f = int(np.sum(durations))
+    if phones and phones[0] == sil_phone and len(durations) > 1:
+        start_f = durations[0]
+        phones, durations = phones[1:], durations[1:]
+    if phones and phones[-1] == sil_phone and len(durations) > 1:
+        end_f -= durations[-1]
+        phones, durations = phones[:-1], durations[:-1]
+    return wav[start_f * n_shift:end_f * n_shift], phones, durations
 
 
 _ZH_PUNCS = ["，", "。", "？", "！"]  # ，。？！

@@ -13,7 +13,7 @@ import unicodedata
 from .abbreviations import expand_abbreviations
 from .numbers import normalize_numbers
 
-__all__ = ["normalize", "full_to_half_width"]
+__all__ = ["normalize", "full_to_half_width", "half_to_full_width"]
 
 _KEEP = re.compile(r"[^ a-z'.,?!\-]")
 _SPACES = re.compile(r"\s+")
@@ -28,6 +28,20 @@ def full_to_half_width(text: str) -> str:
             out.append(" ")
         elif 0xFF01 <= code <= 0xFF5E:
             out.append(chr(code - 0xFEE0))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def half_to_full_width(text: str) -> str:
+    """Half-width ASCII -> full-width (reference width.py:29-40)."""
+    out = []
+    for ch in text:
+        code = ord(ch)
+        if code == 0x20:
+            out.append(chr(0x3000))
+        elif 0x21 <= code <= 0x7E:
+            out.append(chr(code + 0xFEE0))
         else:
             out.append(ch)
     return "".join(out)

@@ -87,6 +87,12 @@ def conv1d_taps(x: jnp.ndarray, kernel: jnp.ndarray, dilation: int = 1,
             y = jnp.dot(xd[:, j * dilation:j * dilation + out_t], wd[j],
                         preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
+    elif padding == "CAUSAL":
+        # y[t] = sum_j x[t - (k-1-j)*d] w[j]; left zero-pad only
+        for j in range(k):
+            y = jnp.dot(_shift(xd, (j - (k - 1)) * dilation), wd[j],
+                        preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
     else:
         raise ValueError(f"unsupported padding {padding!r}")
     return acc.astype(dtype)
@@ -118,16 +124,19 @@ class WNConv1d(nn.Module):
         return y
 
 
-def _phase_masks(scale: int) -> np.ndarray:
+def _phase_masks(scale: int, causal: bool = False) -> np.ndarray:
     """Static (3, 2*scale+1, scale) masks: masks[m, j, r] == 1 iff FIR tap
-    j of output phase r reads input frame n + (m - 1) after nearest-stretch
-    by ``scale`` (x_up[n*s + r + j - s] == mel[n + floor((r + j - s)/s)])."""
+    j of output phase r reads input frame n + (m - off/scale) after
+    nearest-stretch by ``scale``.  Centered FIR (off = scale): frames
+    n-1..n+1.  Causal FIR (off = 2*scale, reference's left-padded Conv2D,
+    parallel_wavegan.py:107-137): frames n-2..n."""
     kt = 2 * scale + 1
+    off = 2 * scale if causal else scale
     masks = np.zeros((3, kt, scale), np.float32)
     for r in range(scale):
         for j in range(kt):
-            m = (r + j - scale) // scale
-            masks[m + 1, j, r] = 1.0
+            m = (r + j - off) // scale
+            masks[m + (1 if not causal else 2), j, r] = 1.0
     return masks
 
 
@@ -145,10 +154,16 @@ class UpsampleNet(nn.Module):
     use_weight_norm: bool = True
     nonlinear_activation: Optional[str] = None
     nonlinear_activation_params: Dict[str, Any] = None
+    interpolate_mode: str = "nearest"
+    use_causal_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, c):
+        if self.interpolate_mode != "nearest":
+            raise NotImplementedError(
+                "only interpolate_mode='nearest' is supported (the "
+                "reference default; all released configs use it)")
         x = c.astype(self.dtype)
         kf = self.freq_axis_kernel_size
         assert kf % 2 == 1, "freq_axis_kernel_size must be odd"
@@ -166,12 +181,14 @@ class UpsampleNet(nn.Module):
                 w = kernel
             w = w.astype(self.dtype)
             # K[m] (kt x kf -> s x kf): per-phase weights for frame n+m-1
-            masks = jnp.asarray(_phase_masks(s), self.dtype)
+            masks = jnp.asarray(_phase_masks(s, self.use_causal_conv),
+                                self.dtype)
+            base = -2 if self.use_causal_conv else -1
             b, n, f = x.shape
             y = jnp.zeros((b, n, s, f), self.dtype)
             for m in range(3):
                 km = jnp.einsum("jr,ji->ri", masks[m], w)  # (s, kf)
-                xm = _shift(x, m - 1)
+                xm = _shift(x, m + base)
                 for fi in range(kf):
                     foff = fi - kf // 2
                     if foff == 0:
@@ -207,17 +224,38 @@ class ConvInUpsampleNet(nn.Module):
     aux_context_window: int = 2
     freq_axis_kernel_size: int = 1
     use_weight_norm: bool = True
+    nonlinear_activation: Optional[str] = None
+    nonlinear_activation_params: Dict[str, Any] = None
+    interpolate_mode: str = "nearest"
+    use_causal_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, c):
-        k = 2 * self.aux_context_window + 1
-        c = WNConv1d(self.aux_channels, k, padding="VALID", use_bias=False,
-                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                     name="conv_in")(c)
+        w = self.aux_context_window
+        causal = self.use_causal_conv and w > 0
+        if causal:
+            # k = w+1 past-only taps; frame i reads c[i..i+w] of the
+            # collator's w-frame-left-padded input (reference
+            # parallel_wavegan.py:183-215)
+            n_out = c.shape[1] - 2 * w
+            c = WNConv1d(self.aux_channels, w + 1, padding="VALID",
+                         use_bias=False,
+                         use_weight_norm=self.use_weight_norm,
+                         dtype=self.dtype, name="conv_in")(c)[:, :n_out]
+        else:
+            c = WNConv1d(self.aux_channels, 2 * w + 1, padding="VALID",
+                         use_bias=False,
+                         use_weight_norm=self.use_weight_norm,
+                         dtype=self.dtype, name="conv_in")(c)
         return UpsampleNet(
             self.upsample_scales, self.freq_axis_kernel_size,
-            self.use_weight_norm, dtype=self.dtype, name="upsample")(c)
+            self.use_weight_norm,
+            nonlinear_activation=self.nonlinear_activation,
+            nonlinear_activation_params=self.nonlinear_activation_params,
+            interpolate_mode=self.interpolate_mode,
+            use_causal_conv=self.use_causal_conv,
+            dtype=self.dtype, name="upsample")(c)
 
 
 def _stacked_lecun(in_axis=-2, out_axis=-1):
@@ -249,6 +287,7 @@ class ResidualStack(nn.Module):
     dropout: float = 0.0
     bias: bool = True
     use_weight_norm: bool = True
+    use_causal_conv: bool = False
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"
 
@@ -290,6 +329,7 @@ class ResidualStack(nn.Module):
         from ..ops.pallas.pwg_stack import (fused_residual_stack,
                                             fused_stack_supported)
         supported = (c is not None and self.aux_channels is not None
+                     and not self.use_causal_conv
                      and fused_stack_supported(
                          cr, cg, cs, k, L, self.stacks,
                          aux_channels=self.aux_channels))
@@ -329,7 +369,8 @@ class ResidualStack(nn.Module):
             (30 layers x (B, T, 2cr) fp32 OOMs HBM at the reference's
             batch-26 benchmark point)."""
             ck, cb_, ak, sk, sb_, ok, ob_ = wl
-            g = conv1d_taps(xi, ck, d, "SAME", dt).astype(jnp.float32)
+            pad = "CAUSAL" if self.use_causal_conv else "SAME"
+            g = conv1d_taps(xi, ck, d, pad, dt).astype(jnp.float32)
             if cb_ is not None:
                 g = g + cb_
             if ak is not None:
@@ -383,8 +424,12 @@ class PWGGenerator(nn.Module):
     dropout: float = 0.0
     bias: bool = True
     use_weight_norm: bool = True
+    use_causal_conv: bool = False
     upsample_scales: Sequence[int] = (4, 4, 4, 4)
+    interpolate_mode: str = "nearest"
     freq_axis_kernel_size: int = 1
+    nonlinear_activation: Optional[str] = None
+    nonlinear_activation_params: Dict[str, Any] = None
     dtype: jnp.dtype = jnp.float32
     stack_impl: str = "auto"
 
@@ -400,7 +445,12 @@ class PWGGenerator(nn.Module):
         c = ConvInUpsampleNet(
             tuple(self.upsample_scales), self.aux_channels,
             self.aux_context_window, self.freq_axis_kernel_size,
-            self.use_weight_norm, dtype=self.dtype, name="upsample_net")(c)
+            self.use_weight_norm,
+            nonlinear_activation=self.nonlinear_activation,
+            nonlinear_activation_params=self.nonlinear_activation_params,
+            interpolate_mode=self.interpolate_mode,
+            use_causal_conv=self.use_causal_conv,
+            dtype=self.dtype, name="upsample_net")(c)
         x = WNConv1d(self.residual_channels, 1, use_bias=True,
                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
                      name="first_conv")(x)
@@ -412,7 +462,8 @@ class PWGGenerator(nn.Module):
             skip_channels=self.skip_channels,
             aux_channels=self.aux_channels,
             dropout=self.dropout, bias=self.bias,
-            use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+            use_weight_norm=self.use_weight_norm,
+            use_causal_conv=self.use_causal_conv, dtype=self.dtype,
             impl=self.stack_impl, name="stack")(
                 x, c, deterministic=deterministic)
         skips = skips * math.sqrt(1.0 / self.layers)
@@ -553,12 +604,19 @@ class PWGDiscriminator(nn.Module):
     conv_channels: int = 64
     dilation_factor: int = 1
     negative_slope: float = 0.2
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: Dict[str, Any] = None
     bias: bool = True
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.nonlinear_activation != "LeakyReLU":
+            raise NotImplementedError(
+                "only LeakyReLU is supported (the reference default)")
+        slope = (self.nonlinear_activation_params or {}).get(
+            "negative_slope", self.negative_slope)
         h = x
         for i in range(self.layers - 1):
             dilation = 1 if i == 0 else (
@@ -567,7 +625,7 @@ class PWGDiscriminator(nn.Module):
                          dilation=dilation, use_bias=self.bias,
                          use_weight_norm=self.use_weight_norm,
                          dtype=self.dtype, name=f"conv_{i}")(h)
-            h = nn.leaky_relu(h, self.negative_slope)
+            h = nn.leaky_relu(h, slope)
         return WNConv1d(self.out_channels, self.kernel_size,
                         use_bias=self.bias,
                         use_weight_norm=self.use_weight_norm,

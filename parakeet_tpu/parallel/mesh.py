@@ -33,8 +33,9 @@ def make_mesh(data: int = -1, model: int = 1,
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} > {n} devices")
+    devices = devices[:data * model]  # e.g. --dp 2 on an 8-device host
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

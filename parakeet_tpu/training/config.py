@@ -13,7 +13,7 @@ from typing import Any, List, Optional
 
 import yaml
 
-__all__ = ["Config", "default_training_config"]
+__all__ = ["Config", "default_training_config", "inference_model_kwargs"]
 
 
 class Config(dict):
@@ -111,6 +111,19 @@ class Config(dict):
             with io.open(path, "w") as f:
                 f.write(text)
         return text
+
+
+def inference_model_kwargs(cfg: dict) -> dict:
+    """Model-section kwargs with training-only keys stripped.
+
+    ``init_type`` configures the weight-initialization scheme applied at
+    train time (reference consumes it before model construction,
+    fastspeech2.py:114); it is not a constructor field here, so
+    synthesis/export CLIs must drop it before ``Model(**kwargs)``.
+    """
+    kwargs = dict(cfg)
+    kwargs.pop("init_type", None)
+    return kwargs
 
 
 def default_training_config() -> Config:

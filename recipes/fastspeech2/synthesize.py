@@ -23,7 +23,8 @@ from parakeet_tpu.data.datatable import read_jsonl
 from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -50,7 +51,7 @@ def main():
     voc_cfg = Config.from_yaml(args.pwg_config)
     idim = sum(1 for _ in open(args.phones_dict))
 
-    model_kwargs = dict(am_cfg.get("model", {}))
+    model_kwargs = inference_model_kwargs(am_cfg.get("model", {}))
     if args.speaker_dict is not None:
         model_kwargs.setdefault(
             "num_speakers", sum(1 for _ in open(args.speaker_dict)))

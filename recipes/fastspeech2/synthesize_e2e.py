@@ -27,7 +27,8 @@ from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
 from parakeet_tpu.models.parallel_wavegan import pwg_streaming_inference
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -78,7 +79,7 @@ def main():
     idim = sum(1 for _ in open(args.phones_dict))
 
     am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
-                     **am_cfg.get("model", {}))
+                     **inference_model_kwargs(am_cfg.get("model", {})))
     am_vars = load_variables(args.fastspeech2_checkpoint)
     voc = PWGGenerator(**voc_cfg.get("generator_params", {}))
     voc_params = load_variables(args.pwg_checkpoint)["params"]

@@ -2,12 +2,15 @@
 """PWGAN preprocessing: wavs -> (wave, log-mel) pairs + metadata.
 
 Equivalent of the reference vocoder preprocessing (reference:
-examples/parallelwave_gan/baker/preprocess.py): per-utterance log-mel,
-stored with the raw waveform for the random-window GAN collator.
+examples/GANVocoder/preprocess.py:35-101): per-utterance log-mel stored
+with the raw waveform for the random-window GAN collator, optional
+MFA-duration-driven silence trimming (``--dur-file --cut-sil``), and the
+wave padded/truncated so num_samples == num_frames * n_shift.
 
 Usage:
   python preprocess.py --rootdir <wavs/> --dumpdir dump \
-      --config conf/default.yaml [--dev-size 100]
+      --config conf/default.yaml [--dur-file durations.txt --cut-sil] \
+      [--dev-size 100]
 """
 import argparse
 from pathlib import Path
@@ -17,6 +20,8 @@ import numpy as np
 from parakeet_tpu.audio.codec import load_wav
 from parakeet_tpu.audio.features import LogMelFBank
 from parakeet_tpu.data.datatable import write_jsonl
+from parakeet_tpu.data.preprocess import (cut_silence, merge_silence,
+                                          read_duration_file)
 from parakeet_tpu.training.config import Config
 
 
@@ -25,6 +30,11 @@ def main():
     parser.add_argument("--rootdir", type=Path, required=True)
     parser.add_argument("--dumpdir", type=Path, default=Path("dump"))
     parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--dur-file", type=Path, default=None,
+                        help="MFA durations.txt; restricts the corpus to "
+                             "aligned utterances and enables --cut-sil")
+    parser.add_argument("--cut-sil", action="store_true",
+                        help="trim leading/trailing sil (needs --dur-file)")
     parser.add_argument("--dev-size", type=int, default=100)
     args = parser.parse_args()
 
@@ -34,12 +44,35 @@ def main():
                                 win_length=cfg.win_length,
                                 fmin=cfg.fmin, fmax=cfg.fmax,
                                 n_mels=cfg.n_mels)
+    sentences = None
+    if args.dur_file is not None:
+        sentences, _ = read_duration_file(args.dur_file)
+        merge_silence(sentences)
+    elif args.cut_sil:
+        parser.error("--cut-sil requires --dur-file")
+
     args.dumpdir.mkdir(parents=True, exist_ok=True)
     records = []
     for wav_path in sorted(args.rootdir.glob("*.wav")):
         utt = wav_path.stem
+        if utt.endswith("_mic2"):  # vctk naming
+            utt = utt[:-5]
+        if sentences is not None and utt not in sentences:
+            continue
         wav, _ = load_wav(wav_path, sr=cfg.fs)
+        if wav.ndim != 1 or np.abs(wav).max() > 1.0:
+            continue
+        if args.cut_sil:
+            phones, durs, _spk = sentences[utt]
+            wav, _, _ = cut_silence(wav, phones, durs, cfg.n_shift)
         mel = mel_extractor.get_log_mel_fbank(wav)
+        # num_samples == num_frames * n_shift (reference
+        # examples/GANVocoder/preprocess.py:81-87)
+        need = mel.shape[0] * cfg.n_shift
+        if wav.size < need:
+            wav = np.pad(wav, (0, need - wav.size), mode="reflect")
+        else:
+            wav = wav[:need]
         np.save(args.dumpdir / f"{utt}_wave.npy", wav.astype(np.float32))
         np.save(args.dumpdir / f"{utt}_feats.npy", mel.astype(np.float32))
         records.append({

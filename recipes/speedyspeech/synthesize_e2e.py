@@ -30,7 +30,8 @@ from parakeet_tpu.frontend.zh_frontend import Frontend
 from parakeet_tpu.models import PWGGenerator, SpeedySpeech
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -60,7 +61,7 @@ def main():
     tone_size = (sum(1 for _ in open(args.tones_dict))
                  if args.tones_dict else None)
     am = SpeedySpeech(vocab_size=vocab_size, tone_size=tone_size,
-                      **cfg.get("model", {}))
+                      **inference_model_kwargs(cfg.get("model", {})))
     am_variables = load_variables(args.checkpoint)
     gen = PWGGenerator(**voc_cfg.get("generator_params", {}))
     voc_params = load_variables(args.pwg_checkpoint)["params"]

@@ -27,7 +27,8 @@ from parakeet_tpu.models import (ConditionalWaveFlow, PWGGenerator,
                                  Tacotron2, pwg_inference)
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -45,7 +46,7 @@ def build_vocoder(args):
         return run, cfg.fs
     if args.waveflow_checkpoint is not None:
         cfg = Config.from_yaml(args.waveflow_config)
-        model = ConditionalWaveFlow(**cfg.get("model", {}))
+        model = ConditionalWaveFlow(**inference_model_kwargs(cfg.get("model", {})))
         params = load_variables(args.waveflow_checkpoint)["params"]
         upsample = int(np.prod(model.upsample_factors))
 
@@ -82,7 +83,8 @@ def main():
 
     cfg = Config.from_yaml(args.config)
     vocab_size = sum(1 for _ in open(args.phones_dict))
-    model = Tacotron2(vocab_size=vocab_size, **cfg.get("model", {}))
+    model = Tacotron2(vocab_size=vocab_size,
+                      **inference_model_kwargs(cfg.get("model", {})))
     variables = load_variables(args.checkpoint)
     norm = ZScore(*np.load(args.stat)) if args.stat else None
     vocoder, voc_fs = build_vocoder(args)

@@ -30,7 +30,8 @@ from parakeet_tpu.models import (ConditionalWaveFlow, LSTMSpeakerEncoder,
                                  Tacotron2, embed_utterance)
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -70,7 +71,7 @@ def main():
     for line in open(args.phones_dict, encoding="utf-8"):
         sym, idx = line.split()
         vocab[sym] = int(idx)
-    model_kwargs = dict(cfg.get("model", {}))
+    model_kwargs = inference_model_kwargs(cfg.get("model", {}))
     model_kwargs.setdefault("d_global_condition", 256)
     model = Tacotron2(vocab_size=len(vocab), **model_kwargs)
     variables = load_variables(args.checkpoint)
@@ -80,7 +81,8 @@ def main():
     vocoder = None
     if args.waveflow_checkpoint is not None:
         voc_cfg = Config.from_yaml(args.waveflow_config)
-        voc = ConditionalWaveFlow(**voc_cfg.get("model", {}))
+        voc = ConditionalWaveFlow(
+            **inference_model_kwargs(voc_cfg.get("model", {})))
         voc_params = load_variables(args.waveflow_checkpoint)["params"]
         upsample = int(np.prod(voc.upsample_factors))
 

@@ -24,7 +24,8 @@ from parakeet_tpu.data.datatable import read_jsonl
 from parakeet_tpu.models import PWGGenerator, TransformerTTS, pwg_inference
 from parakeet_tpu.ops.normalizer import ZScore
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -47,7 +48,7 @@ def main():
     cfg = Config.from_yaml(args.config)
     idim = sum(1 for _ in open(args.phones_dict))
     model = TransformerTTS(idim=idim, odim=cfg.n_mels,
-                           **cfg.get("model", {}))
+                           **inference_model_kwargs(cfg.get("model", {})))
     variables = load_variables(args.checkpoint)
     norm = ZScore(*np.load(args.stat)) if args.stat else None
 

@@ -19,7 +19,8 @@ import numpy as np
 from parakeet_tpu.audio.codec import save_wav
 from parakeet_tpu.models import ConditionalWaveFlow
 from parakeet_tpu.training.checkpoint import load_variables
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
@@ -38,7 +39,7 @@ def main():
     set_device(args.device)
 
     cfg = Config.from_yaml(args.config)
-    model_kwargs = dict(cfg.get("model", {}))
+    model_kwargs = inference_model_kwargs(cfg.get("model", {}))
     model_kwargs["sigma"] = args.sigma
     model = ConditionalWaveFlow(**model_kwargs)
     params = load_variables(args.checkpoint)["params"]

@@ -176,15 +176,42 @@ seed: 1
 
 @pytest.fixture(scope="module")
 def pwg_prepared(corpus):
-    """pwgan preprocess once (wave + feats dumps shared with waveflow)."""
+    """pwgan preprocess (sil-cut) + stats + normalize once (wave + feats
+    dumps shared with waveflow)."""
     root = corpus
     voc_cfg = root / "pwg_tiny.yaml"
     voc_cfg.write_text(PWG_TINY_YAML)
     dump = root / "pwg_dump"
     _run(RECIPES / "pwgan" / "preprocess.py",
          "--rootdir", root / "wavs", "--dumpdir", dump,
-         "--config", voc_cfg, "--dev-size", 2)
-    return {"cfg": voc_cfg, "dump": dump}
+         "--config", voc_cfg, "--dev-size", 2,
+         "--dur-file", root / "durations.txt", "--cut-sil")
+    stats = dump / "feats_stats.npy"
+    _run(RECIPES / "pwgan" / "normalize.py",
+         "--metadata", dump / "metadata_train.jsonl",
+         "--dumpdir", dump / "norm_train", "--stats", stats,
+         "--compute-stats")
+    _run(RECIPES / "pwgan" / "normalize.py",
+         "--metadata", dump / "metadata_dev.jsonl",
+         "--dumpdir", dump / "norm_dev", "--stats", stats,
+         "--skip-wav-copy")
+    return {"cfg": voc_cfg, "dump": dump, "stats": stats}
+
+
+def test_chain_fastspeech2_dp(corpus, fs2_prepared):
+    """Data-parallel CLI leg: train.py --dp 2 on the virtual CPU mesh
+    (reference chain tests exercise multi-GPU via gpu_list, tests/chain/
+    *_multi_gpu.txt; here DP = batch sharding over a jax Mesh)."""
+    root = corpus
+    exp = root / "exp_dp"
+    _run(RECIPES / "fastspeech2" / "train.py",
+         "--config", root / "tiny.yaml",
+         "--train-metadata", fs2_prepared["norm_train"] / "metadata.jsonl",
+         "--dev-metadata", fs2_prepared["norm_dev"] / "metadata.jsonl",
+         "--output-dir", exp,
+         "--phones-dict", fs2_prepared["dump"] / "phone_id_map.txt",
+         "--device", "cpu", "--dp", 2)
+    assert sorted((exp / "checkpoints").glob("*.npz")), "no DP snapshot"
 
 
 def test_chain_fastspeech2(corpus, fs2_prepared, fs2_trained):
@@ -268,13 +295,23 @@ def test_chain_pwgan_and_e2e(corpus, fs2_prepared, fs2_trained,
     exp = root / "pwg_exp"
     _run(RECIPES / "pwgan" / "train.py",
          "--config", voc_cfg,
-         "--train-metadata", dump / "metadata_train.jsonl",
-         "--dev-metadata", dump / "metadata_dev.jsonl",
+         "--train-metadata", dump / "norm_train" / "metadata.jsonl",
+         "--dev-metadata", dump / "norm_dev" / "metadata.jsonl",
          "--output-dir", exp,
          "--opts", "train_max_steps", "3",
          "--device", "cpu")
     snapshots = sorted((exp / "checkpoints").glob("*.npz"))
     assert snapshots, "no vocoder snapshot"
+
+    # ---- copy synthesis: wav -> mel -> z-score -> PWG -> wav -----------
+    copy_dir = root / "wavs_copy"
+    _run(RECIPES / "pwgan" / "synthesize_from_wav.py",
+         "--config", voc_cfg, "--checkpoint", snapshots[-1],
+         "--stats", pwg_prepared["stats"],
+         "--input-wav", root / "wavs" / "utt000.wav",
+         "--output-dir", copy_dir, "--max-frames", 64,
+         "--device", "cpu")
+    assert (copy_dir / "utt000_gen.wav").exists(), "no copy-synth wav"
 
     # ---- e2e: text -> FS2 -> PWG -> wav --------------------------------
     fs2_snap = sorted((fs2_trained / "checkpoints").glob("*.npz"))[-1]

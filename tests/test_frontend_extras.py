@@ -60,3 +60,13 @@ def test_erhua_merge():
     # not_erhua words keep 儿 as its own syllable (reference
     # zh_frontend.py:45-58)
     assert f.get_phonemes("女儿")[0] == ["n", "v3", "er5"]
+
+
+def test_width_conversion_roundtrip():
+    """full/half width folding (reference frontend/normalizer/width.py)."""
+    from parakeet_tpu.frontend.normalizer import (full_to_half_width,
+                                                  half_to_full_width)
+    s = "Hello, World! 123"
+    full = half_to_full_width(s)
+    assert full == "Ｈｅｌｌｏ，　Ｗｏｒｌｄ！　１２３"
+    assert full_to_half_width(full) == s
