@@ -21,6 +21,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--text-len", type=int, default=96)
     parser.add_argument("--frames", type=int, default=640)
+    parser.add_argument("--dtype", default="float32",
+                        help="compute dtype (float32 | bfloat16)")
     args = parser.parse_args()
 
     import jax
@@ -30,8 +32,10 @@ def main():
     from parakeet_tpu.training.optimizer import build_optimizer
 
     b, t, frames, odim = (args.batch_size, args.text_len, args.frames, 80)
+    from parakeet_tpu.training.config import resolve_model_kwargs
+    dtype = resolve_model_kwargs({"dtype": args.dtype})["dtype"]
     model = FastSpeech2(idim=80, odim=odim, adim=384, aheads=4, elayers=4,
-                        eunits=1536, dlayers=4, dunits=1536)
+                        eunits=1536, dlayers=4, dunits=1536, dtype=dtype)
     rng = np.random.default_rng(0)
     durations = np.full((b, t), frames // t, np.int64)
     durations[:, -1] += frames - durations[0].sum()

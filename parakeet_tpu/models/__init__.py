@@ -18,12 +18,14 @@ from .speedyspeech_updater import (init_speedyspeech_train_state,
 from .tacotron2 import Tacotron2, tacotron2_loss
 from .tacotron2_updater import (init_tacotron2_train_state,
                                 make_tacotron2_eval_step,
+                                make_tacotron2_predict_step,
                                 make_tacotron2_train_step)
 from .transformer_tts import (TransformerTTS,
                               guided_multihead_attention_loss,
                               transformer_tts_loss)
 from .transformer_tts_updater import (init_transformer_tts_train_state,
                                       make_transformer_tts_eval_step,
+                                      make_transformer_tts_predict_step,
                                       make_transformer_tts_train_step)
 from .waveflow import (ConditionalWaveFlow, UpsampleNet, WaveFlow, fold,
                        unfold, waveflow_loss)
@@ -40,6 +42,7 @@ __all__ = [
     "Tacotron2", "tacotron2_loss",
     "init_tacotron2_train_state", "make_tacotron2_train_step",
     "make_tacotron2_eval_step",
+    "make_tacotron2_predict_step",
     "TransformerTTS", "transformer_tts_loss",
     "guided_multihead_attention_loss",
     "SpeedySpeech", "speedyspeech_loss",
@@ -47,6 +50,7 @@ __all__ = [
     "make_speedyspeech_eval_step",
     "init_transformer_tts_train_state", "make_transformer_tts_train_step",
     "make_transformer_tts_eval_step",
+    "make_transformer_tts_predict_step",
     "ConditionalWaveFlow", "UpsampleNet", "WaveFlow", "fold", "unfold",
     "waveflow_loss", "init_waveflow_train_state",
     "make_waveflow_train_step", "make_waveflow_eval_step",

@@ -16,7 +16,7 @@ from ..training.state import TrainState
 from .tacotron2 import tacotron2_loss
 
 __all__ = ["init_tacotron2_train_state", "make_tacotron2_train_step",
-           "make_tacotron2_eval_step"]
+           "make_tacotron2_eval_step", "make_tacotron2_predict_step"]
 
 
 def _model_args(batch):
@@ -104,3 +104,24 @@ def make_tacotron2_eval_step(model, *, use_stop_token_loss: bool = True,
     if jit:
         return jax.jit(eval_step)
     return eval_step
+
+
+def make_tacotron2_predict_step(model, jit: bool = True):
+    """Teacher-forced forward returning the raw output dict (alignments,
+    mel predictions) — feeds figure logging (reference logs these to
+    VisualDL during the valid loop, examples/tacotron2_aishell3/
+    train.py:100-112)."""
+    def predict_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        rng = (state.rng if state.rng is not None
+               else jax.random.PRNGKey(0))
+        return model.apply(
+            variables, batch["text"], batch["text_lengths"],
+            batch["speech"], batch["speech_lengths"], **_model_args(batch),
+            deterministic=True, rngs={"dropout": rng})
+
+    if jit:
+        return jax.jit(predict_step)
+    return predict_step

@@ -19,7 +19,8 @@ from .transformer_tts import (guided_multihead_attention_loss,
 
 __all__ = ["init_transformer_tts_train_state",
            "make_transformer_tts_train_step",
-           "make_transformer_tts_eval_step"]
+           "make_transformer_tts_eval_step",
+           "make_transformer_tts_predict_step"]
 
 
 def init_transformer_tts_train_state(model, tx, rng,
@@ -135,3 +136,23 @@ def make_transformer_tts_eval_step(
     if jit:
         return jax.jit(eval_step)
     return eval_step
+
+
+def make_transformer_tts_predict_step(model, jit: bool = True):
+    """Teacher-forced forward returning the raw output dict (attention
+    stacks, mel predictions) for figure logging (reference logs
+    multi-head alignments during eval, transformer_tts notebook/recipe)."""
+    def predict_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        rng = state.rng if state.rng is not None else jax.random.PRNGKey(0)
+        return model.apply(
+            variables, batch["text"], batch["text_lengths"],
+            batch["speech"], batch["speech_lengths"],
+            spk_emb=batch.get("spk_emb"), deterministic=True,
+            rngs={"dropout": rng})
+
+    if jit:
+        return jax.jit(predict_step)
+    return predict_step

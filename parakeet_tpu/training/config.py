@@ -13,7 +13,8 @@ from typing import Any, List, Optional
 
 import yaml
 
-__all__ = ["Config", "default_training_config", "inference_model_kwargs"]
+__all__ = ["Config", "default_training_config", "inference_model_kwargs",
+           "resolve_model_kwargs"]
 
 
 class Config(dict):
@@ -113,6 +114,32 @@ class Config(dict):
         return text
 
 
+_DTYPE_NAMES = {
+    "float32": "float32", "fp32": "float32",
+    "bfloat16": "bfloat16", "bf16": "bfloat16",
+    "float16": "float16", "fp16": "float16",
+}
+
+
+def resolve_model_kwargs(cfg: dict) -> dict:
+    """Model-section kwargs ready for ``Model(**kwargs)``.
+
+    YAML carries the compute dtype as a string (``dtype: bfloat16`` —
+    bf16 matmuls hit the MXU at full rate; flax keeps parameters fp32 via
+    its separate param_dtype, so this is mixed precision); resolve it to
+    the jnp dtype the module fields expect.
+    """
+    kwargs = dict(cfg)
+    if isinstance(kwargs.get("dtype"), str):
+        import jax.numpy as jnp
+        name = _DTYPE_NAMES.get(kwargs["dtype"].lower())
+        if name is None:
+            raise ValueError(f"unknown model dtype {kwargs['dtype']!r}; "
+                             f"one of {sorted(_DTYPE_NAMES)}")
+        kwargs["dtype"] = getattr(jnp, name)
+    return kwargs
+
+
 def inference_model_kwargs(cfg: dict) -> dict:
     """Model-section kwargs with training-only keys stripped.
 
@@ -121,7 +148,7 @@ def inference_model_kwargs(cfg: dict) -> dict:
     fastspeech2.py:114); it is not a constructor field here, so
     synthesis/export CLIs must drop it before ``Model(**kwargs)``.
     """
-    kwargs = dict(cfg)
+    kwargs = resolve_model_kwargs(cfg)
     kwargs.pop("init_type", None)
     return kwargs
 

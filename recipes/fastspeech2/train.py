@@ -24,7 +24,8 @@ from parakeet_tpu.data.dataloader import BatchSampler, DataLoader
 from parakeet_tpu.data.datatable import DataTable
 from parakeet_tpu.models import (FastSpeech2, init_fs2_train_state,
                                  make_fs2_eval_step, make_fs2_train_step)
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    resolve_model_kwargs
 from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
 from parakeet_tpu.training.extensions.snapshot import Snapshot
 from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
@@ -80,7 +81,7 @@ def main():
     spk_num = (sum(1 for _ in open(args.speaker_dict))
                if args.speaker_dict else None)
 
-    model_kwargs = dict(cfg.get("model", {}))
+    model_kwargs = resolve_model_kwargs(cfg.get("model", {}))
     if spk_num is not None:
         model_kwargs.setdefault("num_speakers", spk_num)
         model_kwargs.setdefault("spk_embed_dim", 256)

@@ -23,7 +23,8 @@ from parakeet_tpu.data.datatable import DataTable
 from parakeet_tpu.models import (PWGDiscriminator, PWGGenerator,
                                  init_pwg_train_state, make_pwg_eval_step,
                                  make_pwg_train_step)
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    resolve_model_kwargs
 from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
 from parakeet_tpu.training.extensions.snapshot import Snapshot
 from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
@@ -65,13 +66,14 @@ def main():
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
     seed_everything(cfg.get("seed", 0))
 
-    gen_params_cfg = cfg.get("generator_params", {})
+    gen_params_cfg = resolve_model_kwargs(cfg.get("generator_params", {}))
     acw = gen_params_cfg.get("aux_context_window", 2)
     train_dl = build_dataloader(args.train_metadata, cfg, True, acw)
     dev_dl = build_dataloader(args.dev_metadata, cfg, False, acw)
 
     generator = PWGGenerator(**gen_params_cfg)
-    discriminator = PWGDiscriminator(**cfg.get("discriminator_params", {}))
+    discriminator = PWGDiscriminator(
+        **resolve_model_kwargs(cfg.get("discriminator_params", {})))
 
     sample = next(iter(train_dl))
     g_cfg = cfg.get("generator_optimizer", {})

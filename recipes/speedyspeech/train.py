@@ -15,7 +15,8 @@ from parakeet_tpu.models.speedyspeech import SpeedySpeech
 from parakeet_tpu.models.speedyspeech_updater import (
     init_speedyspeech_train_state, make_speedyspeech_eval_step,
     make_speedyspeech_train_step)
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    resolve_model_kwargs
 from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
 from parakeet_tpu.training.extensions.snapshot import Snapshot
 from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
@@ -63,7 +64,7 @@ def main():
     tone_size = (sum(1 for _ in open(args.tones_dict))
                  if args.tones_dict else None)
     model = SpeedySpeech(vocab_size=vocab_size, tone_size=tone_size,
-                         **cfg.get("model", {}))
+                         **resolve_model_kwargs(cfg.get("model", {})))
     opt_cfg = cfg.get("optimizer", {})
     tx = build_optimizer(opt_cfg.get("optim", "adam"),
                          opt_cfg.get("learning_rate", 2e-3))

@@ -18,7 +18,8 @@ from parakeet_tpu.data.datatable import DataTable
 from parakeet_tpu.models import (Tacotron2, init_tacotron2_train_state,
                                  make_tacotron2_eval_step,
                                  make_tacotron2_train_step)
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    resolve_model_kwargs
 from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
 from parakeet_tpu.training.extensions.snapshot import Snapshot
 from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
@@ -87,7 +88,8 @@ def main():
     sample = next(iter(train_dl))
 
     vocab_size = sum(1 for _ in open(args.phones_dict))
-    model = Tacotron2(vocab_size=vocab_size, **cfg.get("model", {}))
+    model = Tacotron2(vocab_size=vocab_size,
+                      **resolve_model_kwargs(cfg.get("model", {})))
     opt_cfg = cfg.get("optimizer", {})
     tx = build_optimizer(opt_cfg.get("optim", "adam"),
                          opt_cfg.get("learning_rate", 1e-3))
@@ -106,8 +108,28 @@ def main():
                       out=args.output_dir)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),
                    trigger=(1, "epoch"))
-    trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
-                   trigger=(1, "iteration"))
+    tb = TensorBoardWriter(logdir=args.output_dir / "tb")
+    trainer.extend(tb, trigger=(1, "iteration"))
+    # alignment/spectrogram figures on a fixed dev batch (reference logs
+    # these to VisualDL in the valid loop, tacotron2_aishell3/train.py)
+    from parakeet_tpu.models import make_tacotron2_predict_step
+    from parakeet_tpu.training.extensions.figures import FigureWriter
+    from parakeet_tpu.utils import display
+    fig_batch = next(iter(dev_dl))
+    predict_step = make_tacotron2_predict_step(model)
+
+    def _figures(trainer):
+        out = predict_step(trainer.updater.train_state, fig_batch)
+        return {
+            "alignment": display.plot_alignment(
+                np.asarray(out["alignments"][0]).T),
+            "mel_target": display.plot_spectrogram(
+                np.asarray(fig_batch["speech"][0]).T),
+            "mel_pred": display.plot_spectrogram(
+                np.asarray(out["mel_outputs_postnet"][0]).T),
+        }
+
+    trainer.extend(FigureWriter(_figures, tb.writer), trigger=(1, "epoch"))
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(1, "epoch"), priority=-100)
     trainer.run()

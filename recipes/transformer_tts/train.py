@@ -14,7 +14,8 @@ from parakeet_tpu.models import TransformerTTS
 from parakeet_tpu.models.transformer_tts_updater import (
     init_transformer_tts_train_state, make_transformer_tts_eval_step,
     make_transformer_tts_train_step)
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    resolve_model_kwargs
 from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
 from parakeet_tpu.training.extensions.snapshot import Snapshot
 from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
@@ -59,7 +60,7 @@ def main():
 
     idim = sum(1 for _ in open(args.phones_dict))
     odim = sample["speech"].shape[-1]
-    model_kwargs = dict(cfg.get("model", {}))
+    model_kwargs = resolve_model_kwargs(cfg.get("model", {}))
     init_type = model_kwargs.pop("init_type", None)
     model = TransformerTTS(idim=idim, odim=odim, **model_kwargs)
     opt_cfg = cfg.get("optimizer", {})
@@ -85,8 +86,28 @@ def main():
                       out=args.output_dir)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),
                    trigger=(1, "epoch"))
-    trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
-                   trigger=(1, "iteration"))
+    tb = TensorBoardWriter(logdir=args.output_dir / "tb")
+    trainer.extend(tb, trigger=(1, "iteration"))
+    # alignment/spectrogram figures on a fixed dev batch (reference logs
+    # these to VisualDL in the valid loop, tacotron2_aishell3/train.py)
+    from parakeet_tpu.models import make_transformer_tts_predict_step
+    from parakeet_tpu.training.extensions.figures import FigureWriter
+    from parakeet_tpu.utils import display
+    fig_batch = next(iter(dev_dl))
+    predict_step = make_transformer_tts_predict_step(model)
+
+    def _figures(trainer):
+        out = predict_step(trainer.updater.train_state, fig_batch)
+        return {
+            "alignment": display.plot_alignment(
+                np.asarray(out["dec_cross_attns"][-1, 0].mean(0)).T),
+            "mel_target": display.plot_spectrogram(
+                np.asarray(fig_batch["speech"][0]).T),
+            "mel_pred": display.plot_spectrogram(
+                np.asarray(out["after_outs"][0]).T),
+        }
+
+    trainer.extend(FigureWriter(_figures, tb.writer), trigger=(1, "epoch"))
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(1, "epoch"), priority=-100)
     trainer.run()

@@ -16,7 +16,8 @@ from parakeet_tpu.models import ConditionalWaveFlow
 from parakeet_tpu.models.waveflow_updater import (
     init_waveflow_train_state, make_waveflow_eval_step,
     make_waveflow_train_step)
-from parakeet_tpu.training.config import Config
+from parakeet_tpu.training.config import Config, \
+    resolve_model_kwargs
 from parakeet_tpu.training.extensions.evaluator import StandardEvaluator
 from parakeet_tpu.training.extensions.snapshot import Snapshot
 from parakeet_tpu.training.extensions.visualizer import TensorBoardWriter
@@ -92,7 +93,8 @@ def main():
     dev_dl = build_dataloader(args.dev_metadata, cfg, False)
     sample = next(iter(train_dl))
 
-    model = ConditionalWaveFlow(**cfg.get("model", {}))
+    model = ConditionalWaveFlow(
+        **resolve_model_kwargs(cfg.get("model", {})))
     opt_cfg = cfg.get("optimizer", {})
     tx = build_optimizer(opt_cfg.get("optim", "adam"),
                          opt_cfg.get("learning_rate", 2e-4))

@@ -194,3 +194,49 @@ def test_optimizer_factory_and_schedules():
     assert float(pw(0)) == 1.0
     assert float(pw(7)) == 0.5
     assert float(pw(100)) == pytest.approx(0.1)
+
+
+def test_figure_writer_extension(tmp_path):
+    """FigureWriter feeds fn(trainer) figures to the writer at its
+    trigger (reference in-loop VisualDL add_figure,
+    examples/tacotron2_aishell3/train.py:100-112)."""
+    from parakeet_tpu.training.extensions.figures import FigureWriter
+    from parakeet_tpu.utils import display
+    import numpy as np
+
+    logged = []
+
+    class FakeWriter:
+        def add_figure(self, tag, fig, global_step):
+            logged.append((tag, global_step))
+
+    class FakeState:
+        iteration = 7
+
+    class FakeUpdater:
+        state = FakeState()
+
+    class FakeTrainer:
+        updater = FakeUpdater()
+
+    fw = FigureWriter(
+        lambda tr: {"alignment": display.plot_alignment(
+            np.random.default_rng(0).random((5, 9)))},
+        FakeWriter())
+    fw(FakeTrainer())
+    assert logged == [("alignment", 7)]
+
+
+def test_resolve_model_kwargs_dtype():
+    """YAML dtype strings resolve to jnp dtypes; init_type is stripped
+    for inference construction."""
+    import jax.numpy as jnp
+    from parakeet_tpu.training.config import (inference_model_kwargs,
+                                              resolve_model_kwargs)
+    kw = resolve_model_kwargs({"adim": 8, "dtype": "bf16"})
+    assert kw["dtype"] is jnp.bfloat16 and kw["adim"] == 8
+    kw = inference_model_kwargs({"dtype": "float32", "init_type": "xavier"})
+    assert kw["dtype"] is jnp.float32 and "init_type" not in kw
+    import pytest
+    with pytest.raises(ValueError):
+        resolve_model_kwargs({"dtype": "int7"})
