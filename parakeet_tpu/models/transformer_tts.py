@@ -189,6 +189,13 @@ class TransformerTTS(nn.Module):
     # ---- shared pieces -------------------------------------------------
     def encode(self, text, text_lengths, speech=None, spk_emb=None,
                *, deterministic: bool = True):
+        # append <eos> = idim-1 at each sequence end (reference
+        # transformer_tts.py:420-424 forward, 554-556 inference): one
+        # static extra column, eos scattered at position text_lengths
+        b = text.shape[0]
+        text = jnp.pad(text, ((0, 0), (0, 1)))
+        text = text.at[jnp.arange(b), text_lengths].set(self.idim - 1)
+        text_lengths = text_lengths + 1
         mask = sequence_mask(text_lengths, text.shape[1])   # (B, T_enc)
         attn_mask = mask[:, None, None, :]                   # (B,1,1,T)
         if self.encoder_prenet is not None:

@@ -53,7 +53,8 @@ def _losses(model, outputs, batch, *, loss_type, bce_pos_weight,
         r = model.reduction_factor
         ga = guided_multihead_attention_loss(
             outputs["dec_cross_attns"], batch["speech_lengths"] // r,
-            batch["text_lengths"], sigma=guided_attn_sigma,
+            batch["text_lengths"] + 1,  # model appends <eos> to the text
+            sigma=guided_attn_sigma,
             num_layers=num_layers_applied_guided_attn,
             num_heads=num_heads_applied_guided_attn)
         losses["guided_attn_loss"] = ga

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""TransformerTTS preprocessing: LJSpeech -> (phones, log-mel) + metadata.
+
+Equivalent of the reference AR-model preprocessing (reference:
+examples/transformer_tts/preprocess.py:33-260): phoneticize the raw text
+with the English frontend, extract per-utterance log-mel, build the
+phone id map (<pad>/<unk> + sorted phone set + <eos>), and split
+train/dev/test.  No durations — the model aligns via attention.
+
+Usage:
+  python preprocess.py --rootdir ~/datasets/LJSpeech-1.1 \
+      --dumpdir dump --config conf/default.yaml \
+      [--dev-size 100 --test-size 100]
+"""
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from parakeet_tpu.audio.codec import load_wav
+from parakeet_tpu.audio.features import LogMelFBank
+from parakeet_tpu.data.datasets import LJSpeechMetaData
+from parakeet_tpu.data.datatable import write_jsonl
+from parakeet_tpu.frontend import English
+from parakeet_tpu.training.config import Config
+
+
+def build_phone_id_map(sentences, output_path):
+    """<pad>/<unk> + sorted phone set + <eos> (reference
+    preprocess.py:61-83)."""
+    phones = sorted({p for phns, _ in sentences.values() for p in phns})
+    tokens = ["<pad>", "<unk>"] + phones + ["<eos>"]
+    with open(output_path, "w") as f:
+        for i, p in enumerate(tokens):
+            f.write(f"{p} {i}\n")
+    return {p: i for i, p in enumerate(tokens)}
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rootdir", type=Path, required=True,
+                        help="LJSpeech-1.1 root (metadata.csv + wavs/)")
+    parser.add_argument("--dumpdir", type=Path, default=Path("dump"))
+    parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--dev-size", type=int, default=100)
+    parser.add_argument("--test-size", type=int, default=100)
+    args = parser.parse_args()
+
+    cfg = Config.from_yaml(args.config)
+    frontend = English()
+    mel_extractor = LogMelFBank(sr=cfg.fs, n_fft=cfg.n_fft,
+                                hop_length=cfg.n_shift,
+                                win_length=cfg.win_length,
+                                fmin=cfg.fmin, fmax=cfg.fmax,
+                                n_mels=cfg.n_mels)
+    meta = LJSpeechMetaData(args.rootdir)
+    sentences = {}
+    wav_paths = {}
+    for wav_path, normalized, _raw in meta.records:
+        utt = Path(wav_path).stem
+        phones = [p for p in frontend.phoneticize(normalized)
+                  if not p.isspace()]
+        if not phones:
+            continue
+        sentences[utt] = (phones, utt[:2])  # speaker = LJ prefix
+        wav_paths[utt] = wav_path
+
+    args.dumpdir.mkdir(parents=True, exist_ok=True)
+    build_phone_id_map(sentences, args.dumpdir / "phone_id_map.txt")
+
+    records = []
+    for utt, (phones, speaker) in sentences.items():
+        wav, _ = load_wav(wav_paths[utt], sr=cfg.fs)
+        mel = mel_extractor.get_log_mel_fbank(wav)
+        np.save(args.dumpdir / f"{utt}_speech.npy", mel.astype(np.float32))
+        records.append({
+            "utt_id": utt,
+            "phones": phones,
+            "text_lengths": len(phones),
+            "speech_lengths": int(mel.shape[0]),
+            "speech": str(args.dumpdir / f"{utt}_speech.npy"),
+            "speaker": speaker,
+        })
+
+    n_dev, n_test = args.dev_size, args.test_size
+    write_jsonl(args.dumpdir / "metadata_dev.jsonl", records[:n_dev])
+    write_jsonl(args.dumpdir / "metadata_test.jsonl",
+                records[n_dev:n_dev + n_test])
+    write_jsonl(args.dumpdir / "metadata_train.jsonl",
+                records[n_dev + n_test:])
+    print(f"wrote {len(records)} utterances to {args.dumpdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -167,3 +167,37 @@ def test_speedyspeech_forward_inference_loss():
     inf = model.apply(variables, text, tones, max_frames=40,
                       deterministic=True, method=SpeedySpeech.inference)
     assert inf["mel"].shape == (2, 40, 8)
+
+
+def test_transformer_tts_appends_eos():
+    """The model appends <eos> (idim-1) at each text end before encoding
+    (reference transformer_tts.py:420-424)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from parakeet_tpu.models.transformer_tts import TransformerTTS
+    model = TransformerTTS(idim=11, odim=6, adim=16, aheads=2, elayers=1,
+                           eunits=24, dlayers=1, dunits=24,
+                           eprenet_conv_layers=0, dprenet_units=8,
+                           postnet_layers=2, postnet_chans=8,
+                           postnet_filts=3)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 10, (2, 5)).astype(np.int32))
+    tl = jnp.asarray([5, 3])
+    mels = jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32))
+    ol = jnp.full((2,), 8)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   text, tl, mels, ol, deterministic=True)
+    hs, mask, _ = model.apply(v, text, tl, deterministic=True,
+                              method=TransformerTTS.encode)
+    assert hs.shape[1] == 6          # T_enc + 1 eos slot
+    # mask covers length+1 positions
+    np.testing.assert_array_equal(np.asarray(mask[0]), [1] * 6)
+    np.testing.assert_array_equal(np.asarray(mask[1]), [1] * 4 + [0] * 2)
+    # the eos embedding is the same regardless of what padding held
+    text2 = text.at[1, 3:].set(7)    # garbage beyond length 3
+    hs2, _, _ = model.apply(v, text2, tl, deterministic=True,
+                            method=TransformerTTS.encode)
+    np.testing.assert_allclose(np.asarray(hs[1, :4]),
+                               np.asarray(hs2[1, :4]), atol=2e-5)
