@@ -19,15 +19,26 @@ def load_wav(path, sr: int | None = None) -> tuple[np.ndarray, int]:
     If ``sr`` is given and differs from the file's rate, the signal is
     resampled with polyphase filtering.
     """
-    file_sr, data = wavfile.read(path)
-    if data.dtype == np.int16:
-        wav = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        wav = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        wav = (data.astype(np.float32) - 128.0) / 128.0
+    if str(path).lower().endswith(".wav"):
+        file_sr, data = wavfile.read(path)
+        if data.dtype == np.int16:
+            wav = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            wav = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            wav = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            wav = data.astype(np.float32)
     else:
-        wav = data.astype(np.float32)
+        # flac/ogg/... need a codec library (optional dependency)
+        try:
+            import soundfile
+        except ImportError as e:
+            raise ImportError(
+                f"reading {path!r} requires the optional 'soundfile' "
+                "package (only .wav decodes without it)") from e
+        data, file_sr = soundfile.read(path, dtype="float32")
+        wav = np.asarray(data, np.float32)
     if wav.ndim == 2:  # downmix
         wav = wav.mean(axis=1)
     if sr is not None and sr != file_sr:

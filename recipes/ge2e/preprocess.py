@@ -13,6 +13,13 @@ numpy, no native dependency, equivalent behavior on clean corpora.
 Usage:
   python preprocess.py --input datasets/LibriSpeech/train-clean-100 \
       --output dump/ge2e_mels --pattern "*.flac|*.wav"
+  python preprocess.py --dataset librispeech_other \
+      --datasets-root ~/datasets --output dump/ge2e_mels
+
+``--dataset`` selects a corpus layout adapter (speaker-directory
+discovery, glob pattern, "dataset_speaker" naming, VoxCeleb1's
+anglophone filter) mirroring the reference dataset processors
+(reference: examples/ge2e/dataset_processors.py:106-175).
 """
 import argparse
 from pathlib import Path
@@ -50,13 +57,58 @@ def energy_vad(wav, fs, window_ms=30, smooth_windows=8,
     return np.pad(mask, (0, len(wav) - len(mask)), constant_values=False)
 
 
+_ANGLOPHONE = ["australia", "canada", "ireland", "uk", "usa"]
+
+
+def collect_speaker_dirs(dataset: str, root: Path):
+    """Corpus layout adapters (reference dataset_processors.py:106-175).
+
+    Returns (list of (speaker_name, dir), glob pattern); speaker_name
+    joins the path parts below ``root`` so mixed corpora stay disjoint.
+    """
+    def named(dirs):
+        return [("_".join(d.relative_to(root).parts), d)
+                for d in sorted(dirs) if d.is_dir()]
+
+    if dataset == "librispeech_other":
+        return named((root / "LibriSpeech" / "train-other-500").glob("*")), \
+            "*.flac"
+    if dataset == "voxceleb1":
+        base = root / "VoxCeleb1"
+        with (base / "vox1_meta.csv").open() as f:
+            meta = [line.strip().split("\t") for line in f][1:]
+        keep = {row[0] for row in meta
+                if row[-1] == "dev" and row[3].lower() in _ANGLOPHONE}
+        dirs = [d for d in (base / "wav").glob("*") if d.name in keep]
+        print(f"VoxCeleb1: {len(dirs)} anglophone dev speakers kept")
+        return named(dirs), "*.wav"
+    if dataset == "voxceleb2":
+        return named((root / "VoxCeleb2" / "wav").glob("*")), "*.wav"
+    if dataset == "aidatatang_200zh":
+        return named((root / "aidatatang_200zh" / "corpus" /
+                      "train").glob("*")), "*.wav"
+    if dataset == "magicdata":
+        return named((root / "magicdata" / "train").glob("*")), "*.wav"
+    raise ValueError(f"unknown dataset {dataset!r}")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--input", type=Path, required=True,
-                        help="root with one subdirectory per speaker")
+    parser.add_argument("--input", type=Path, default=None,
+                        help="root with one subdirectory per speaker "
+                             "(generic layout)")
+    parser.add_argument("--dataset", default=None,
+                        choices=("librispeech_other", "voxceleb1",
+                                 "voxceleb2", "aidatatang_200zh",
+                                 "magicdata"),
+                        help="use a corpus layout adapter instead of "
+                             "--input")
+    parser.add_argument("--datasets-root", type=Path, default=None,
+                        help="root containing the --dataset corpus")
     parser.add_argument("--output", type=Path, required=True)
-    parser.add_argument("--pattern", default="*.wav",
-                        help="'|'-separated glob patterns")
+    parser.add_argument("--pattern", default=None,
+                        help="'|'-separated glob patterns (default: the "
+                             "--dataset adapter's pattern, else *.wav)")
     parser.add_argument("--fs", type=int, default=16000)
     parser.add_argument("--n-mels", type=int, default=40)
     parser.add_argument("--window-ms", type=float, default=25.0)
@@ -73,10 +125,24 @@ def main():
                       win_length=win, n_mels=args.n_mels, fmin=0,
                       fmax=args.fs // 2)
 
-    speakers = [d for d in sorted(args.input.iterdir()) if d.is_dir()]
+    if args.dataset is not None:
+        if args.datasets_root is None:
+            parser.error("--dataset requires --datasets-root")
+        speakers, pattern = collect_speaker_dirs(args.dataset,
+                                                 args.datasets_root)
+        if args.pattern is None:
+            args.pattern = pattern
+    elif args.input is not None:
+        speakers = [(d.name, d) for d in sorted(args.input.iterdir())
+                    if d.is_dir()]
+        if args.pattern is None:
+            args.pattern = "*.wav"
+    else:
+        parser.error("one of --input / --dataset is required")
 
-    def process_speaker(spk_dir):
-        out_dir = args.output / spk_dir.name
+    def process_speaker(spk):
+        spk_name, spk_dir = spk
+        out_dir = args.output / spk_name
         out_dir.mkdir(parents=True, exist_ok=True)
         count = 0
         for pattern in args.pattern.split("|"):
@@ -91,7 +157,7 @@ def main():
                 np.save(out_dir / f"{path.stem}.npy",
                         feats.astype(np.float32))
                 count += 1
-        return f"{spk_dir.name}: {count} utterances"
+        return f"{spk_name}: {count} utterances"
 
     for msg in thread_map(process_speaker, speakers, args.num_workers):
         print(msg)

@@ -164,3 +164,47 @@ def test_voice_cloning_chain(tmp_path):
          "--max-decoder-steps", "12", "--device", "cpu")
     wavs = list((tmp_path / "cloned").glob("*.wav"))
     assert wavs, "voice cloning produced no wav"
+
+
+def test_ge2e_dataset_adapters(tmp_path):
+    """Corpus layout adapters: dir discovery, naming, VoxCeleb1
+    anglophone filter (reference dataset_processors.py:106-175) — run
+    the librispeech adapter through the real CLI on synthetic wavs."""
+    import runpy
+    import sys as _sys
+    root = tmp_path / "datasets"
+    # librispeech layout: LibriSpeech/train-other-500/<spk>/<chap>/*.flac
+    for spk in ("19", "26"):
+        (root / "LibriSpeech" / "train-other-500" / spk / "0").mkdir(
+            parents=True)
+    # voxceleb1 layout + meta (speaker id10003 is non-anglophone)
+    vox = root / "VoxCeleb1"
+    (vox / "wav" / "id10001").mkdir(parents=True)
+    (vox / "wav" / "id10003").mkdir(parents=True)
+    (vox / "vox1_meta.csv").write_text(
+        "VoxCeleb1 ID\tVGGFace1 ID\tGender\tNationality\tSet\n"
+        "id10001\tA\tm\tUSA\tdev\n"
+        "id10003\tB\tf\tGermany\tdev\n")
+
+    mod = runpy.run_path(
+        str(RECIPES / "ge2e" / "preprocess.py"), run_name="not_main")
+    collect = mod["collect_speaker_dirs"]
+    spks, pattern = collect("librispeech_other", root)
+    assert pattern == "*.flac"
+    assert [name for name, _ in spks] == [
+        "LibriSpeech_train-other-500_19", "LibriSpeech_train-other-500_26"]
+    spks, _ = collect("voxceleb1", root)
+    assert [name for name, _ in spks] == ["VoxCeleb1_wav_id10001"]
+
+    # generic --input path end-to-end with a real wav
+    from parakeet_tpu.audio.codec import save_wav
+    gen_root = tmp_path / "generic" / "spkA"
+    gen_root.mkdir(parents=True)
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    save_wav(gen_root / "u0.wav",
+             (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32), sr)
+    out = tmp_path / "mels"
+    _run(RECIPES / "ge2e" / "preprocess.py", "--input", gen_root.parent,
+         "--output", out, "--min-frames", 10)
+    assert list((out / "spkA").glob("*.npy"))
