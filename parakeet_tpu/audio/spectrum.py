@@ -24,6 +24,9 @@ __all__ = [
     "mel_to_hz",
     "mel_filterbank",
     "frame_signal",
+    "inverse_mel",
+    "griffin_lim",
+    "logmel_to_wav",
 ]
 
 
@@ -195,3 +198,57 @@ def mel_filterbank(sr: int,
     elif norm is not None:
         raise ValueError(f"unsupported norm: {norm!r}")
     return weights
+
+
+def inverse_mel(mel: np.ndarray, sr: int, n_fft: int,
+                fmin: float = 0.0, fmax: float | None = None,
+                norm: str | None = "slaney") -> np.ndarray:
+    """Approximate (n_mels, T) mel magnitudes -> (1 + n_fft//2, T) linear
+    magnitudes via the filterbank pseudo-inverse (reference
+    parakeet/audio/audio.py:52 inv_mel_filter)."""
+    fb = mel_filterbank(sr, n_fft, mel.shape[0], fmin, fmax, norm)
+    return np.maximum(np.linalg.pinv(fb) @ mel, 0.0)
+
+
+def griffin_lim(magnitude: np.ndarray, hop_length: int,
+                win_length: int | None = None, window="hann",
+                n_iter: int = 32, momentum: float = 0.99,
+                length: int | None = None, seed: int = 0) -> np.ndarray:
+    """Phase reconstruction from a (1 + n_fft//2, T) magnitude
+    spectrogram: iterate istft -> stft keeping the target magnitude,
+    with fast-Griffin-Lim momentum extrapolation (Perraudin et al.).
+    The vocoder-free synthesis fallback (the reference exposes the
+    pieces — istft + inv_mel_filter — without the loop)."""
+    rng = np.random.default_rng(seed)
+    angles = np.exp(2j * np.pi * rng.random(magnitude.shape))
+    n_fft = 2 * (magnitude.shape[0] - 1)
+    spec = magnitude.astype(np.complex128) * angles
+    prev = None
+    for _ in range(n_iter):
+        c = spec if prev is None else spec + momentum * (spec - prev)
+        prev = spec
+        wav = istft(c, hop_length, win_length, window, length=length)
+        rebuilt = stft(wav, n_fft=n_fft, hop_length=hop_length,
+                       win_length=win_length, window=window)
+        rebuilt = rebuilt[:, :magnitude.shape[1]]
+        if rebuilt.shape[1] < magnitude.shape[1]:
+            rebuilt = np.pad(
+                rebuilt, ((0, 0), (0, magnitude.shape[1] - rebuilt.shape[1])))
+        phase = rebuilt / np.maximum(np.abs(rebuilt), 1e-10)
+        spec = magnitude * phase
+    return istft(spec, hop_length, win_length, window, length=length)
+
+
+def logmel_to_wav(logmel: np.ndarray, sr: int, n_fft: int,
+                  hop_length: int, win_length: int | None = None,
+                  fmin: float = 0.0, fmax: float | None = None,
+                  base: str = "10", n_iter: int = 32,
+                  window="hann") -> np.ndarray:
+    """Vocoder-free synthesis: (T, n_mels) log-mel -> waveform via mel
+    pseudo-inverse + fast Griffin-Lim.  ``base`` matches LogMelFBank
+    ("10" or "e")."""
+    mel = np.asarray(logmel, np.float64).T          # (n_mels, T)
+    mag = np.power(10.0, mel) if base == "10" else np.exp(mel)
+    lin = inverse_mel(mag, sr, n_fft, fmin, fmax)
+    return griffin_lim(lin, hop_length, win_length, window,
+                       n_iter=n_iter).astype(np.float32)

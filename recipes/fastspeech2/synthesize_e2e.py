@@ -6,6 +6,9 @@ examples/fastspeech2/baker/synthesize_e2e.py:32-90), TPU-native: both the
 acoustic model inference and the vocoder run as jit-compiled XLA programs
 with bucketed static shapes.
 
+Without --pwg-checkpoint the mel is inverted vocoder-free via the
+mel pseudo-inverse + fast Griffin-Lim (audio/spectrum.py).
+
 Usage:
   python synthesize_e2e.py --fastspeech2-config conf/default.yaml \
       --fastspeech2-checkpoint exp/default/checkpoints/snapshot_iter_N.npz \
@@ -58,8 +61,8 @@ def main():
     parser.add_argument("--fastspeech2-checkpoint", type=Path, required=True)
     parser.add_argument("--fastspeech2-stat", type=Path, default=None,
                         help="speech_stats.npy (mean/std) for denorm")
-    parser.add_argument("--pwg-config", type=Path, required=True)
-    parser.add_argument("--pwg-checkpoint", type=Path, required=True)
+    parser.add_argument("--pwg-config", type=Path, default=None)
+    parser.add_argument("--pwg-checkpoint", type=Path, default=None)
     parser.add_argument("--pwg-stat", type=Path, default=None)
     parser.add_argument("--phones-dict", type=Path, required=True)
     parser.add_argument("--text", type=Path, required=True,
@@ -75,14 +78,17 @@ def main():
     set_device(args.device)
 
     am_cfg = Config.from_yaml(args.fastspeech2_config)
-    voc_cfg = Config.from_yaml(args.pwg_config)
     idim = sum(1 for _ in open(args.phones_dict))
 
     am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
                      **inference_model_kwargs(am_cfg.get("model", {})))
     am_vars = load_variables(args.fastspeech2_checkpoint)
-    voc = PWGGenerator(**voc_cfg.get("generator_params", {}))
-    voc_params = load_variables(args.pwg_checkpoint)["params"]
+    voc = voc_params = None
+    if args.pwg_checkpoint is not None:
+        voc_cfg = Config.from_yaml(args.pwg_config)
+        voc = PWGGenerator(**inference_model_kwargs(
+            voc_cfg.get("generator_params", {})))
+        voc_params = load_variables(args.pwg_checkpoint)["params"]
 
     am_norm = (ZScore(*np.load(args.fastspeech2_stat))
                if args.fastspeech2_stat else None)
@@ -118,17 +124,24 @@ def main():
         mel = np.asarray(mel)[0, :n]
         if am_norm is not None:
             mel = np.asarray(am_norm.inverse(mel))
-        voc_in = mel
-        if voc_norm is not None:
-            voc_in = np.asarray(voc_norm.transform(voc_in))
-        rng = jax.random.PRNGKey(abs(hash(utt_id)) % (2 ** 31))
-        if args.streaming_chunk_frames > 0:
-            wav = pwg_streaming_inference(
-                voc, {"params": voc_params}, jnp.asarray(voc_in), rng=rng,
-                chunk_frames=args.streaming_chunk_frames)
+        if voc is None:
+            # vocoder-free fallback: mel pinv + fast Griffin-Lim
+            from parakeet_tpu.audio.spectrum import logmel_to_wav
+            wav = logmel_to_wav(mel, am_cfg.fs, am_cfg.n_fft,
+                                am_cfg.n_shift, am_cfg.win_length,
+                                fmin=am_cfg.fmin, fmax=am_cfg.fmax)
         else:
-            wav = pwg_inference(voc, {"params": voc_params},
-                                jnp.asarray(voc_in), rng=rng)
+            voc_in = mel
+            if voc_norm is not None:
+                voc_in = np.asarray(voc_norm.transform(voc_in))
+            rng = jax.random.PRNGKey(abs(hash(utt_id)) % (2 ** 31))
+            if args.streaming_chunk_frames > 0:
+                wav = pwg_streaming_inference(
+                    voc, {"params": voc_params}, jnp.asarray(voc_in),
+                    rng=rng, chunk_frames=args.streaming_chunk_frames)
+            else:
+                wav = pwg_inference(voc, {"params": voc_params},
+                                    jnp.asarray(voc_in), rng=rng)
         wav = np.asarray(wav).reshape(-1)
         out_path = args.output_dir / f"{utt_id}.wav"
         save_wav(out_path, wav, am_cfg.fs)

@@ -493,3 +493,26 @@ seed: 1
          "--max-decoder-steps", 12, "--device", "cpu")
     assert (list(out_dir.glob("*.npy")) or list(out_dir.glob("*.wav"))), \
         "transformer_tts synthesize produced nothing"
+
+
+def test_chain_fastspeech2_griffin_lim(corpus, fs2_prepared, fs2_trained):
+    """Vocoder-free e2e: no --pwg-checkpoint -> mel pinv + Griffin-Lim
+    wav (reference exposes istft + inv_mel_filter; here the full loop)."""
+    root = corpus
+    fs2_snap = sorted((fs2_trained / "checkpoints").glob("*.npz"))[-1]
+    text_file = root / "sentences_gl.txt"
+    text_file.write_text("demo002 你好。\n")
+    outdir = root / "wavs_gl"
+    _run(RECIPES / "fastspeech2" / "synthesize_e2e.py",
+         "--fastspeech2-config", root / "tiny.yaml",
+         "--fastspeech2-checkpoint", fs2_snap,
+         "--fastspeech2-stat", root / "dump" / "speech_stats.npy",
+         "--phones-dict", root / "dump" / "phone_id_map.txt",
+         "--text", text_file, "--output-dir", outdir,
+         "--lang", "zh", "--max-text-len", 32, "--max-frames", 128,
+         "--device", "cpu")
+    wavs = list(outdir.glob("*.wav"))
+    assert wavs, "no griffin-lim wav"
+    from parakeet_tpu.audio.codec import load_wav
+    wav, sr = load_wav(wavs[0])
+    assert sr == 24000 and np.isfinite(wav).all() and len(wav) > 0

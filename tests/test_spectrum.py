@@ -124,3 +124,31 @@ def test_pitch_continuous_log_token_avg():
     assert out.shape == (3, 1)
     # voiced region tokens should be near log(200)
     assert abs(out[-1, 0] - np.log(200.0)) < 0.1
+
+
+def test_griffin_lim_and_mel_inversion():
+    """inverse_mel (pinv, reference audio.py:52) + fast Griffin-Lim
+    reconstruct a tone whose spectrum matches the target."""
+    from parakeet_tpu.audio.spectrum import (griffin_lim, inverse_mel,
+                                             logmel_to_wav,
+                                             mel_filterbank, stft)
+    sr, n_fft, hop = 16000, 512, 128
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    mag = np.abs(stft(x, n_fft=n_fft, hop_length=hop))
+    y = griffin_lim(mag, hop, n_iter=32, length=len(x))
+    magy = np.abs(stft(y, n_fft=n_fft, hop_length=hop))[:, :mag.shape[1]]
+    err = np.linalg.norm(magy - mag) / np.linalg.norm(mag)
+    assert err < 0.12, err
+
+    fb = mel_filterbank(sr, n_fft, 80)
+    lin = inverse_mel(fb @ mag, sr, n_fft)
+    assert np.corrcoef(lin.ravel(), mag.ravel())[0, 1] > 0.9
+
+    logmel = np.log10(np.maximum(fb @ mag, 1e-10)).T  # (T, n_mels)
+    wav = logmel_to_wav(logmel, sr, n_fft, hop, n_iter=8)
+    assert wav.dtype == np.float32 and len(wav) > 0
+    # dominant frequency survives the round trip
+    spec = np.abs(np.fft.rfft(wav * np.hanning(len(wav))))
+    freq = np.argmax(spec) * sr / len(wav)
+    assert abs(freq - 440) < 15, freq
