@@ -152,3 +152,39 @@ def test_griffin_lim_and_mel_inversion():
     spec = np.abs(np.fft.rfft(wav * np.hanning(len(wav))))
     freq = np.argmax(spec) * sr / len(wav)
     assert abs(freq - 440) < 15, freq
+
+
+def test_stft_matches_torch_stft():
+    """Golden parity vs torch.stft (the reference's test pattern,
+    tests/unit/test_stft.py:25-60): same framing, window, and complex
+    values."""
+    import torch
+    from scipy import signal as _sig
+    from parakeet_tpu.audio.spectrum import stft
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, size=4096)
+    n_fft, hop, win = 1024, 256, 1024
+    ours = stft(x, n_fft=n_fft, hop_length=hop, win_length=win)
+    window = torch.as_tensor(_sig.get_window("hann", win, fftbins=True))
+    ref = torch.stft(torch.as_tensor(x), n_fft=n_fft, hop_length=hop,
+                     win_length=win, window=window, center=True,
+                     pad_mode="reflect", return_complex=True).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-7)
+
+
+def test_in_graph_stft_loss_matches_host_stft():
+    """The device-side STFT magnitude used by the multi-resolution loss
+    matches the host (numpy/torch-parity) STFT."""
+    import jax.numpy as jnp
+    from parakeet_tpu.audio.spectrum import stft as np_stft
+    from parakeet_tpu.ops.stft import stft_magnitude
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1.0, 1.0, size=(2, 4096)).astype(np.float32)
+    n_fft, hop, win = 512, 128, 512
+    dev = np.asarray(stft_magnitude(jnp.asarray(x), n_fft=n_fft,
+                                    hop_length=hop, win_length=win))
+    host = np.abs(np_stft(x[0], n_fft=n_fft, hop_length=hop,
+                          win_length=win)).T
+    assert dev.shape[1:] == host.shape
+    np.testing.assert_allclose(dev[0], host, rtol=2e-4, atol=2e-4)
