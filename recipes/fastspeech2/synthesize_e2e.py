@@ -71,6 +71,10 @@ def main():
     parser.add_argument("--lang", default="zh", choices=("zh", "en"))
     parser.add_argument("--max-text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=1024)
+    parser.add_argument("--export-dir", type=Path, default=None,
+                        help="serialize the jitted AM + vocoder as "
+                             "jax.export StableHLO (deploy via "
+                             "inference.py; requires --pwg-checkpoint)")
     parser.add_argument("--streaming-chunk-frames", type=int, default=0,
                         help="vocode in fixed-size chunks (bit-exact, O(chunk) memory, one compile for any length); 0 = one-shot")
     add_device_arg(parser)
@@ -95,6 +99,47 @@ def main():
     voc_norm = (ZScore(*np.load(args.pwg_stat)) if args.pwg_stat else None)
 
     get_ids = build_frontend(args.lang, args.phones_dict)
+
+    if args.export_dir is not None:
+        # static-graph deploy artifacts (reference: paddle.jit.save of the
+        # speedyspeech example; here StableHLO via jax.export).  The AM
+        # graph emits vocoder-domain mel (am denorm + voc z-norm baked
+        # in) so inference.py needs no stats files.
+        if voc is None:
+            raise SystemExit("--export-dir requires --pwg-checkpoint")
+        from jax import export as jexport
+
+        def am_export(text, text_lengths):
+            out = am.apply(am_vars, text, text_lengths,
+                           max_frames=args.max_frames, min_duration=1,
+                           method=FastSpeech2.inference)
+            mel = out["after_outs"]
+            if am_norm is not None:
+                mel = am_norm.inverse(mel)
+            if voc_norm is not None:
+                mel = voc_norm.transform(mel)
+            return mel, out["frame_lengths"]
+
+        w = voc.aux_context_window
+
+        def voc_export(mel, noise):
+            mel = jnp.pad(mel, ((0, 0), (w, w), (0, 0)), mode="edge")
+            return voc.apply({"params": voc_params}, noise, mel)[..., 0]
+
+        args.export_dir.mkdir(parents=True, exist_ok=True)
+        text_spec = jax.ShapeDtypeStruct((1, args.max_text_len), jnp.int64)
+        len_spec = jax.ShapeDtypeStruct((1,), jnp.int64)
+        mel_spec = jax.ShapeDtypeStruct(
+            (1, args.max_frames, am_cfg.n_mels), jnp.float32)
+        noise_spec = jax.ShapeDtypeStruct(
+            (1, args.max_frames * voc.upsample_factor, 1), jnp.float32)
+        exp_am = jexport.export(jax.jit(am_export))(text_spec, len_spec)
+        exp_voc = jexport.export(jax.jit(voc_export))(mel_spec, noise_spec)
+        (args.export_dir / "fastspeech2.jaxexport").write_bytes(
+            exp_am.serialize())
+        (args.export_dir / "pwgan.jaxexport").write_bytes(
+            exp_voc.serialize())
+        print(f"exported serialized graphs to {args.export_dir}")
 
     @jax.jit
     def am_infer(variables, text, text_lengths):

@@ -334,6 +334,27 @@ def test_chain_pwgan_and_e2e(corpus, fs2_prepared, fs2_trained,
     wav, sr = load_wav(wavs[0])
     assert sr == 24000 and len(wav) > 0
 
+    # ---- static export + deploy: jax.export graphs, no model code ------
+    export_dir = root / "exported_fs2"
+    _run(RECIPES / "fastspeech2" / "synthesize_e2e.py",
+         "--fastspeech2-config", root / "tiny.yaml",
+         "--fastspeech2-checkpoint", fs2_snap,
+         "--fastspeech2-stat", root / "dump" / "speech_stats.npy",
+         "--pwg-config", voc_cfg,
+         "--pwg-checkpoint", snapshots[-1],
+         "--phones-dict", root / "dump" / "phone_id_map.txt",
+         "--text", text_file, "--output-dir", root / "wavs_out2",
+         "--lang", "zh", "--max-text-len", 32, "--max-frames", 128,
+         "--export-dir", export_dir, "--device", "cpu")
+    assert (export_dir / "fastspeech2.jaxexport").exists()
+    deploy_out = root / "wavs_deploy"
+    _run(RECIPES / "fastspeech2" / "inference.py",
+         "--export-dir", export_dir,
+         "--phones-dict", root / "dump" / "phone_id_map.txt",
+         "--text", text_file, "--output-dir", deploy_out,
+         "--lang", "zh", "--device", "cpu")
+    assert list(deploy_out.glob("*.wav")), "no deployed-graph wav"
+
 
 def test_chain_tacotron2_waveflow(corpus, fs2_prepared,
                                   pwg_prepared):
