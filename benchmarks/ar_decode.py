@@ -17,12 +17,14 @@ import time
 import numpy as np
 
 
-def bench_tacotron2(steps, iters):
+def bench_tacotron2(steps, iters, dtype):
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import Tacotron2
 
-    model = Tacotron2(vocab_size=80)
+    from parakeet_tpu.training.config import resolve_model_kwargs
+    dt = resolve_model_kwargs({"dtype": dtype})["dtype"]
+    model = Tacotron2(vocab_size=80, dtype=dt)
     text = jnp.asarray(np.random.default_rng(0).integers(
         1, 80, (1, 96)).astype(np.int64))
     tl = jnp.asarray(np.array([96], np.int64))
@@ -42,20 +44,27 @@ def bench_tacotron2(steps, iters):
 
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
-    tic = time.perf_counter()
     t = text
+    # warmup rep: the first chained run after compile carries residual
+    # one-time costs (device caches, tunnel) worth ~10x of steady state
+    for i in range(iters):
+        mel, lengths = infer(v, (t + i) % 79 + 1, tl)
+    np.asarray(mel)
+    tic = time.perf_counter()
     for i in range(iters):
         mel, lengths = infer(v, (t + i) % 79 + 1, tl)
     np.asarray(mel)
     return (time.perf_counter() - tic) / iters / steps * 1000
 
 
-def bench_transformer_tts(steps, iters):
+def bench_transformer_tts(steps, iters, dtype):
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import TransformerTTS
 
-    model = TransformerTTS(idim=80, odim=80)
+    from parakeet_tpu.training.config import resolve_model_kwargs
+    dt = resolve_model_kwargs({"dtype": dtype})["dtype"]
+    model = TransformerTTS(idim=80, odim=80, dtype=dt)
     text = jnp.asarray(np.random.default_rng(0).integers(
         1, 80, (1, 96)).astype(np.int64))
     tl = jnp.asarray(np.array([96], np.int64))
@@ -73,8 +82,13 @@ def bench_transformer_tts(steps, iters):
 
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
-    tic = time.perf_counter()
     t = text
+    # warmup rep: the first chained run after compile carries residual
+    # one-time costs (device caches, tunnel) worth ~10x of steady state
+    for i in range(iters):
+        mel, lengths = infer(v, (t + i) % 79 + 1, tl)
+    np.asarray(mel)
+    tic = time.perf_counter()
     for i in range(iters):
         mel, lengths = infer(v, (t + i) % 79 + 1, tl)
     np.asarray(mel)
@@ -85,6 +99,9 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--dtype", default="float32",
+                        help="compute dtype (float32 | bfloat16); params "
+                             "stay fp32")
     parser.add_argument("--models", nargs="+",
                         default=["tacotron2", "transformer_tts"])
     args = parser.parse_args()
@@ -92,9 +109,10 @@ def main():
     for name in args.models:
         fn = {"tacotron2": bench_tacotron2,
               "transformer_tts": bench_transformer_tts}[name]
-        ms = fn(args.steps, args.iters)
+        ms = fn(args.steps, args.iters, args.dtype)
         print(json.dumps({"metric": f"{name}_decode_ms_per_step",
-                          "value": round(ms, 4), "unit": "ms/step"}))
+                          "value": round(ms, 4), "unit": "ms/step",
+                          "dtype": args.dtype}))
 
 
 if __name__ == "__main__":

@@ -123,7 +123,12 @@ class Tacotron2DecoderCell(nn.Module):
         proj_in = jnp.concatenate([dec_h, context], axis=-1)
         frame = self.frame_proj(proj_in)        # (B, r * d_mels)
         stop_logit = self.stop_proj(proj_in).squeeze(-1)  # (B,)
-        new_carry = (attn_state, dec_state, context, weights, cum_weights)
+        # pin carry leaves to the compute dtype — mixed-precision modules
+        # may emit fp32 (e.g. stable-softmax weights), and lax.scan
+        # requires carry-in == carry-out types
+        new_carry = jax.tree_util.tree_map(
+            lambda x: x.astype(self.dtype),
+            (attn_state, dec_state, context, weights, cum_weights))
         return new_carry, (frame, stop_logit, weights)
 
     def initial_carry(self, batch, t_enc, d_values):

@@ -138,6 +138,10 @@ class LocationSensitiveAttention(nn.Module):
                      processed_location)).squeeze(-1)  # (B, T)
         if mask is not None:
             energies = jnp.where(mask, energies, _NEG_INF)
-        weights = nn.softmax(energies, axis=-1)
-        context = jnp.einsum("bt,btd->bd", weights, values)
+        # softmax in fp32 (stable under bf16 compute), back to the
+        # compute dtype so scan carries keep a fixed type
+        weights = nn.softmax(energies.astype(jnp.float32),
+                             axis=-1).astype(self.dtype)
+        context = jnp.einsum(
+            "bt,btd->bd", weights, values.astype(self.dtype))
         return context, weights

@@ -201,3 +201,33 @@ def test_transformer_tts_appends_eos():
                             method=TransformerTTS.encode)
     np.testing.assert_allclose(np.asarray(hs[1, :4]),
                                np.asarray(hs2[1, :4]), atol=2e-5)
+
+
+def test_tacotron2_bf16_decode():
+    """bf16 compute: the infer scan carry keeps a fixed dtype (fp32
+    stable-softmax attention weights are cast back) and the output is
+    finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from parakeet_tpu.models import Tacotron2
+    model = Tacotron2(vocab_size=12, d_mels=8, d_encoder=16,
+                      encoder_conv_layers=1, encoder_kernel_size=3,
+                      d_prenet=8, d_attention_rnn=16, d_decoder_rnn=16,
+                      d_attention=16, attention_filters=4,
+                      attention_kernel_size=5, d_postnet=8,
+                      postnet_kernel_size=3, postnet_conv_layers=2,
+                      dtype=jnp.bfloat16)
+    text = jnp.asarray(np.random.default_rng(0).integers(
+        1, 12, (2, 6)).astype(np.int64))
+    tl = jnp.asarray([6, 4])
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   text, tl, max_decoder_steps=8,
+                   method=Tacotron2.infer)
+    out = jax.jit(lambda v, t, l: model.apply(
+        v, t, l, max_decoder_steps=8,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        method=Tacotron2.infer))(v, text, tl)
+    mel = np.asarray(out["mel_outputs_postnet"], np.float32)
+    assert np.isfinite(mel).all()
