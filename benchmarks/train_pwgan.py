@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def bench_batch_size(batch_size: int, iters: int):
+def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import (PWGDiscriminator, PWGGenerator,
@@ -27,10 +27,13 @@ def bench_batch_size(batch_size: int, iters: int):
                                      make_pwg_train_step)
     from parakeet_tpu.training.optimizer import build_optimizer
 
+    from parakeet_tpu.training.config import resolve_model_kwargs
+    dt = resolve_model_kwargs({"dtype": dtype})["dtype"]
     gen = PWGGenerator(layers=30, stacks=3, residual_channels=64,
                        gate_channels=128, skip_channels=64,
-                       upsample_scales=(4, 5, 3, 5), aux_context_window=2)
-    disc = PWGDiscriminator(layers=10, conv_channels=64)
+                       upsample_scales=(4, 5, 3, 5), aux_context_window=2,
+                       dtype=dt)
+    disc = PWGDiscriminator(layers=10, conv_channels=64, dtype=dt)
     hop = gen.upsample_factor                      # 300
     batch_max_steps = 25500                        # reference config
     frames = batch_max_steps // hop
@@ -69,14 +72,18 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--batch-sizes", type=int, nargs="+",
                         default=[6, 26])
+    parser.add_argument("--dtype", default="float32",
+                        help="compute dtype (float32 | bfloat16); params "
+                             "and loss stay fp32")
     args = parser.parse_args()
 
     for bs in args.batch_sizes:
-        ips = bench_batch_size(bs, args.iters)
+        ips = bench_batch_size(bs, args.iters, args.dtype)
         print(json.dumps({"metric": "pwgan_train_avg_ips",
                           "batch_size": bs,
                           "value": round(ips, 3),
-                          "unit": "sequences/sec"}))
+                          "unit": "sequences/sec",
+                          "dtype": args.dtype}))
 
 
 if __name__ == "__main__":

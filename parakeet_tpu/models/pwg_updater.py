@@ -28,6 +28,9 @@ __all__ = ["make_pwg_train_step", "make_pwg_eval_step",
 
 
 def _mse(x, target):
+    # losses reduce in fp32 regardless of the model compute dtype (also
+    # keeps lax.cond branch types equal against fp32 zero branches)
+    x = x.astype(jnp.float32)
     return jnp.mean(jnp.square(x - target))
 
 

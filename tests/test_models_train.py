@@ -158,3 +158,45 @@ def test_fs2_data_parallel_8dev():
     # params stay replicated after the step
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_pwg_train_step_bf16():
+    """GAN train step with bf16 compute models: losses reduce in fp32
+    (lax.cond branch types stay equal) and stay finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from parakeet_tpu.models import (PWGDiscriminator, PWGGenerator,
+                                     init_pwg_train_state,
+                                     make_pwg_train_step)
+    from parakeet_tpu.training.optimizer import build_optimizer
+    gen = PWGGenerator(layers=2, stacks=1, residual_channels=4,
+                       gate_channels=8, skip_channels=4, aux_channels=10,
+                       aux_context_window=1, upsample_scales=(4, 5),
+                       dtype=jnp.bfloat16)
+    disc = PWGDiscriminator(layers=3, conv_channels=4,
+                            dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frames, hop = 10, 20
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal(
+            (2, frames * hop)).astype(np.float32)),
+        "mel": jnp.asarray(rng.standard_normal(
+            (2, frames + 2, 10)).astype(np.float32)),
+    }
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    gp = gen.init({"params": k1, "dropout": k2},
+                  jnp.zeros((2, frames * hop, 1)),
+                  batch["mel"], deterministic=False)["params"]
+    dp = disc.init(k3, jnp.zeros((2, frames * hop, 1)))["params"]
+    gen_tx = build_optimizer("adam", 1e-4)
+    disc_tx = build_optimizer("adam", 5e-5)
+    state = init_pwg_train_state(gp, dp, gen_tx, disc_tx,
+                                 jax.random.PRNGKey(1))
+    step = make_pwg_train_step(
+        gen, disc, gen_tx, disc_tx,
+        fft_sizes=(64,), hop_sizes=(16,), win_lengths=(32,),
+        discriminator_train_start_steps=1)
+    for _ in range(2):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["generator_loss"]))
