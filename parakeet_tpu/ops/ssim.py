@@ -38,6 +38,9 @@ def _filter2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, win_size: int = 11,
          sigma: float = 1.5, data_range: float = 1.0) -> jnp.ndarray:
     """Mean SSIM of two batches of images (B, C, H, W)."""
+    # loss metric: compute in fp32 regardless of the model compute dtype
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     w = jnp.asarray(_gaussian_window(win_size, sigma))
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2

@@ -200,3 +200,127 @@ def test_pwg_train_step_bf16():
     for _ in range(2):
         state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["generator_loss"]))
+
+
+# ---- bf16 compute sweep: every family's train step under mixed
+# precision (params fp32, activations bf16) must run and stay finite ----
+
+def _bf16_family_impls():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.default_rng(0)
+
+    def fs2():
+
+        from parakeet_tpu.models import FastSpeech2, init_fs2_train_state, make_fs2_train_step
+        from parakeet_tpu.training.optimizer import build_optimizer
+        m = FastSpeech2(idim=11, odim=6, adim=16, aheads=2, elayers=1, eunits=24,
+                        dlayers=1, dunits=24, postnet_layers=1, postnet_chans=8,
+                        postnet_filts=3, duration_predictor_chans=8,
+                        pitch_predictor_chans=8, energy_predictor_chans=8,
+                        dtype=jnp.bfloat16)
+        b = {"text": jnp.asarray(rng.integers(1, 11, (2, 5))),
+             "text_lengths": jnp.full((2,), 5),
+             "speech": jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32)),
+             "speech_lengths": jnp.full((2,), 8),
+             "durations": jnp.asarray([[2,2,2,1,1]]*2),
+             "pitch": jnp.zeros((2,5,1)), "energy": jnp.zeros((2,5,1))}
+        tx = build_optimizer("adam", 1e-3)
+        st = init_fs2_train_state(m, tx, jax.random.PRNGKey(0), b)
+        step = make_fs2_train_step(m, tx)
+        st, met = step(st, b)
+        assert np.isfinite(float(met["loss"]))
+    
+    def sps():
+        from parakeet_tpu.models import SpeedySpeech, init_speedyspeech_train_state, make_speedyspeech_train_step
+        from parakeet_tpu.training.optimizer import build_optimizer
+        m = SpeedySpeech(vocab_size=11, encoder_hidden_size=8, encoder_kernel_size=3,
+                         encoder_dilations=(1,), decoder_hidden_size=8,
+                         decoder_kernel_size=3, decoder_dilations=(1,),
+                         decoder_output_size=6, duration_predictor_hidden_size=8,
+                         dtype=jnp.bfloat16)
+        b = {"phones": jnp.asarray(rng.integers(1, 11, (2, 5))),
+             "num_phones": jnp.full((2,), 5),
+             "feats": jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32)),
+             "num_frames": jnp.full((2,), 8),
+             "durations": jnp.asarray([[2,2,2,1,1]]*2)}
+        tx = build_optimizer("adam", 1e-3)
+        st = init_speedyspeech_train_state(m, tx, jax.random.PRNGKey(0), b)
+        step = make_speedyspeech_train_step(m, tx)
+        st, met = step(st, b)
+        assert np.isfinite(float(met["loss"]))
+    
+    def t2():
+        from parakeet_tpu.models import Tacotron2, init_tacotron2_train_state, make_tacotron2_train_step
+        from parakeet_tpu.training.optimizer import build_optimizer
+        m = Tacotron2(vocab_size=11, d_mels=6, d_encoder=8, encoder_conv_layers=1,
+                      encoder_kernel_size=3, d_prenet=4, d_attention_rnn=8,
+                      d_decoder_rnn=8, d_attention=8, attention_filters=4,
+                      attention_kernel_size=5, d_postnet=4, postnet_kernel_size=3,
+                      postnet_conv_layers=2, dtype=jnp.bfloat16)
+        b = {"text": jnp.asarray(rng.integers(1, 11, (2, 5))),
+             "text_lengths": jnp.full((2,), 5),
+             "speech": jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32)),
+             "speech_lengths": jnp.full((2,), 8)}
+        tx = build_optimizer("adam", 1e-3)
+        st = init_tacotron2_train_state(m, tx, jax.random.PRNGKey(0), b)
+        step = make_tacotron2_train_step(m, tx)
+        st, met = step(st, b)
+        assert np.isfinite(float(met["loss"]))
+    
+    def ttts():
+        from parakeet_tpu.models import TransformerTTS, init_transformer_tts_train_state, make_transformer_tts_train_step
+        from parakeet_tpu.training.optimizer import build_optimizer
+        m = TransformerTTS(idim=11, odim=6, adim=16, aheads=2, elayers=1,
+                           eunits=24, dlayers=1, dunits=24, eprenet_conv_layers=0,
+                           dprenet_units=8, postnet_layers=2, postnet_chans=8,
+                           postnet_filts=3, dtype=jnp.bfloat16)
+        b = {"text": jnp.asarray(rng.integers(1, 11, (2, 5))),
+             "text_lengths": jnp.full((2,), 5),
+             "speech": jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32)),
+             "speech_lengths": jnp.full((2,), 8)}
+        tx = build_optimizer("adam", 1e-3)
+        st = init_transformer_tts_train_state(m, tx, jax.random.PRNGKey(0), b)
+        step = make_transformer_tts_train_step(m, tx)
+        st, met = step(st, b)
+        assert np.isfinite(float(met["loss"]))
+    
+    def wf():
+        from parakeet_tpu.models import ConditionalWaveFlow, init_waveflow_train_state, make_waveflow_train_step
+        from parakeet_tpu.training.optimizer import build_optimizer
+        m = ConditionalWaveFlow(upsample_factors=(4, 5), n_flows=2, n_layers=2,
+                                n_group=4, channels=8, n_mels=6,
+                                dtype=jnp.bfloat16)
+        b = {"wav": jnp.asarray(rng.standard_normal((2, 8*20)).astype(np.float32)),
+             "mel": jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32))}
+        tx = build_optimizer("adam", 1e-3)
+        st = init_waveflow_train_state(m, tx, jax.random.PRNGKey(0), b)
+        step = make_waveflow_train_step(m, tx)
+        st, met = step(st, b)
+        assert np.isfinite(float(met["loss"]))
+    
+    def ge2e():
+        from parakeet_tpu.models import LSTMSpeakerEncoder
+        from parakeet_tpu.models.ge2e_updater import init_ge2e_train_state, make_ge2e_train_step
+        from parakeet_tpu.training.optimizer import build_optimizer
+        m = LSTMSpeakerEncoder(n_mels=6, num_layers=1, hidden_size=8,
+                               output_size=4, dtype=jnp.bfloat16)
+        b = {"utterances": jnp.asarray(rng.standard_normal(
+            (4*3, 10, 6)).astype(np.float32))}
+        tx = build_optimizer("adam", 1e-3)
+        st = init_ge2e_train_state(m, tx, jax.random.PRNGKey(0), b,
+                                   n_speakers=4)
+        step = make_ge2e_train_step(m, tx, n_speakers=4)
+        st, met = step(st, b)
+        assert np.isfinite(float(met["loss"]))
+
+    return {"fastspeech2": fs2, "speedyspeech": sps, "tacotron2": t2,
+            "transformer_tts": ttts, "waveflow": wf, "ge2e": ge2e}
+
+
+@pytest.mark.parametrize("family", ["fastspeech2", "speedyspeech",
+                                    "tacotron2", "transformer_tts",
+                                    "waveflow", "ge2e"])
+def test_train_step_bf16(family):
+    _bf16_family_impls()[family]()
