@@ -116,19 +116,22 @@ class Tacotron2DecoderCell(nn.Module):
         context, weights = self.attention(attn_h, processed_keys, values,
                                           weights, cum_weights,
                                           mask=key_mask)
-        cum_weights = cum_weights + weights
+        # accumulate attention mass in fp32: under bf16 compute, per-step
+        # increments below the ulp of a grown cumulative sum would be
+        # dropped, stalling the location feature on long decodes
+        weights = weights.astype(jnp.float32)
+        cum_weights = cum_weights.astype(jnp.float32) + weights
         dec_in = jnp.concatenate([attn_h, context], axis=-1)
         dec_state, dec_h = self.decoder_rnn(dec_state, dec_in)
         dec_h = self.dec_dropout(dec_h, deterministic=deterministic)
         proj_in = jnp.concatenate([dec_h, context], axis=-1)
         frame = self.frame_proj(proj_in)        # (B, r * d_mels)
         stop_logit = self.stop_proj(proj_in).squeeze(-1)  # (B,)
-        # pin carry leaves to the compute dtype — mixed-precision modules
-        # may emit fp32 (e.g. stable-softmax weights), and lax.scan
-        # requires carry-in == carry-out types
-        new_carry = jax.tree_util.tree_map(
+        # pin state/context leaves to the compute dtype (lax.scan needs
+        # carry-in == carry-out types); weights/cum_weights stay fp32
+        new_carry = (*jax.tree_util.tree_map(
             lambda x: x.astype(self.dtype),
-            (attn_state, dec_state, context, weights, cum_weights))
+            (attn_state, dec_state, context)), weights, cum_weights)
         return new_carry, (frame, stop_logit, weights)
 
     def initial_carry(self, batch, t_enc, d_values):
@@ -138,7 +141,8 @@ class Tacotron2DecoderCell(nn.Module):
         dec_state = (z(batch, self.d_decoder_rnn),
                      z(batch, self.d_decoder_rnn))
         return (attn_state, dec_state, z(batch, d_values),
-                z(batch, t_enc), z(batch, t_enc))
+                jnp.zeros((batch, t_enc), jnp.float32),
+                jnp.zeros((batch, t_enc), jnp.float32))
 
 
 class Tacotron2(nn.Module):

@@ -13,7 +13,7 @@ Typical use (AR model recipes):
         out = eval_step(trainer.updater.train_state, dev_batch)
         return {
             "alignment": display.plot_alignment(
-                np.asarray(out["alignments"][0]).T),
+                np.asarray(out["alignments"][0])),   # (T_dec, T_enc)
             "mel_pred": display.plot_spectrogram(
                 np.asarray(out["after_outs"][0]).T),
         }

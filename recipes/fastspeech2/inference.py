@@ -21,27 +21,10 @@ import numpy as np
 from jax import export as jexport
 
 from parakeet_tpu.audio.codec import save_wav
+from parakeet_tpu.frontend.cli import build_text_to_ids
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
-def build_frontend(lang, phones_dict):
-    if lang == "zh":
-        from parakeet_tpu.frontend import Frontend
-        fe = Frontend(phone_vocab_path=str(phones_dict), strict=False)
-
-        def get_ids(sentence):
-            out = fe.get_input_ids(sentence)
-            return out["phone_ids"][0] if out.get("phone_ids") else []
-        return get_ids
-    from parakeet_tpu.data.preprocess import load_id_map
-    from parakeet_tpu.frontend import English
-    phone_map = load_id_map(phones_dict)
-    en = English()
-
-    def get_ids(sentence):
-        return [phone_map[p] for p in en.phoneticize(sentence)
-                if p in phone_map]
-    return get_ids
 
 
 def main():
@@ -64,8 +47,11 @@ def main():
     max_frames = voc.in_avals[0].shape[1]
     hop = voc.in_avals[1].shape[1] // max_frames
 
-    get_ids = build_frontend(args.lang, args.phones_dict)
+    get_ids = build_text_to_ids(args.lang, args.phones_dict)
     args.output_dir.mkdir(parents=True, exist_ok=True)
+    # constant key + constant shape: draw the vocoder noise once
+    noise = jax.random.normal(jax.random.PRNGKey(0),
+                              (1, max_frames * hop, 1))
     for line in open(args.text):
         parts = line.strip().split(maxsplit=1)
         if len(parts) != 2:
@@ -82,8 +68,6 @@ def main():
         if n == 0:
             print(f"{utt_id}: predicted 0 frames, skipping")
             continue
-        noise = jax.random.normal(jax.random.PRNGKey(0),
-                                  (1, max_frames * hop, 1))
         wav = np.asarray(voc.call(mel, noise))[0, :n * hop]
         out = args.output_dir / f"{utt_id}.wav"
         save_wav(out, wav, args.fs)

@@ -50,10 +50,15 @@ def main():
     stats = {}
     for field, dim in fields:
         path = stats_dir / f"{field}_stats.npy"
-        if args.compute_stats or not path.exists():
+        if args.compute_stats:
             d = dim or np.load(records[0][field]).shape[-1]
             s = compute_stats(records, field, d)
             np.save(path, np.stack([s.mean, s.std]))
+        elif not path.exists():
+            raise SystemExit(
+                f"stats file {path} not found — normalize the TRAIN "
+                "split first with --compute-stats (dev/test must reuse "
+                "the train statistics)")
         arr = np.load(path)
         stats[field] = (arr[0], arr[1])
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parakeet_tpu.audio.codec import save_wav
-from parakeet_tpu.data.preprocess import load_id_map
+from parakeet_tpu.frontend.cli import build_text_to_ids
 from parakeet_tpu.models import FastSpeech2, PWGGenerator, pwg_inference
 from parakeet_tpu.models.parallel_wavegan import pwg_streaming_inference
 from parakeet_tpu.ops.normalizer import ZScore
@@ -33,26 +33,6 @@ from parakeet_tpu.training.checkpoint import load_variables
 from parakeet_tpu.training.config import Config, \
     inference_model_kwargs
 from parakeet_tpu.utils.device import add_device_arg, set_device
-
-
-def build_frontend(lang, phones_dict):
-    if lang == "zh":
-        from parakeet_tpu.frontend import Frontend
-        fe = Frontend(phone_vocab_path=str(phones_dict), strict=False)
-
-        def get_ids(sentence):
-            out = fe.get_input_ids(sentence)
-            return out["phone_ids"][0] if out.get("phone_ids") else []
-        return get_ids
-    else:
-        from parakeet_tpu.frontend import English
-        phone_map = load_id_map(phones_dict)
-        en = English()
-
-        def get_ids(sentence):
-            return [phone_map[p] for p in en.phoneticize(sentence)
-                    if p in phone_map]
-        return get_ids
 
 
 def main():
@@ -79,6 +59,10 @@ def main():
                         help="vocode in fixed-size chunks (bit-exact, O(chunk) memory, one compile for any length); 0 = one-shot")
     add_device_arg(parser)
     args = parser.parse_args()
+    if (args.pwg_checkpoint is None) != (args.pwg_config is None):
+        parser.error("--pwg-config and --pwg-checkpoint must be given "
+                     "together (omit both for the Griffin-Lim "
+                     "vocoder-free fallback)")
     set_device(args.device)
 
     am_cfg = Config.from_yaml(args.fastspeech2_config)
@@ -98,7 +82,7 @@ def main():
                if args.fastspeech2_stat else None)
     voc_norm = (ZScore(*np.load(args.pwg_stat)) if args.pwg_stat else None)
 
-    get_ids = build_frontend(args.lang, args.phones_dict)
+    get_ids = build_text_to_ids(args.lang, args.phones_dict)
 
     if args.export_dir is not None:
         # static-graph deploy artifacts (reference: paddle.jit.save of the

@@ -42,12 +42,17 @@ def main():
     records = read_jsonl(args.metadata)
     args.dumpdir.mkdir(parents=True, exist_ok=True)
 
-    if args.compute_stats or not args.stats.exists():
+    if args.compute_stats:
         stats = RunningStats(np.load(records[0]["feats"]).shape[-1])
         for r in records:
             stats.update(np.load(r["feats"]))
         args.stats.parent.mkdir(parents=True, exist_ok=True)
         np.save(args.stats, np.stack([stats.mean, stats.std]))
+    elif not args.stats.exists():
+        raise SystemExit(
+            f"stats file {args.stats} not found — normalize the TRAIN "
+            "split first with --compute-stats (dev/test must reuse the "
+            "train statistics)")
     arr = np.load(args.stats)
     mean, std = arr[0], np.maximum(arr[1], 1e-8)
 

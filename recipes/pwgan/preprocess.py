@@ -61,6 +61,10 @@ def main():
             continue
         wav, _ = load_wav(wav_path, sr=cfg.fs)
         if wav.ndim != 1 or np.abs(wav).max() > 1.0:
+            print(f"skipping {utt}: "
+                  f"{'not mono' if wav.ndim != 1 else 'peak > 1.0'} "
+                  "(reference asserts 16-bit PCM range, "
+                  "GANVocoder/preprocess.py:50-53)")
             continue
         if args.cut_sil:
             phones, durs, _spk = sentences[utt]

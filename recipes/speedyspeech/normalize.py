@@ -34,11 +34,16 @@ def main():
     stats_dir.mkdir(parents=True, exist_ok=True)
 
     path = stats_dir / "feats_stats.npy"
-    if args.compute_stats or not path.exists():
+    if args.compute_stats:
         stats = RunningStats(np.load(records[0]["feats"]).shape[-1])
         for r in records:
             stats.update(np.load(r["feats"]))
         np.save(path, np.stack([stats.mean, stats.std]))
+    elif not path.exists():
+        raise SystemExit(
+            f"stats file {path} not found — normalize the TRAIN split "
+            "first with --compute-stats (dev/test must reuse the train "
+            "statistics)")
     arr = np.load(path)
     mean, std = arr[0], arr[1]
 

@@ -122,7 +122,7 @@ def main():
         out = predict_step(trainer.updater.train_state, fig_batch)
         return {
             "alignment": display.plot_alignment(
-                np.asarray(out["alignments"][0]).T),
+                np.asarray(out["alignments"][0])),
             "mel_target": display.plot_spectrogram(
                 np.asarray(fig_batch["speech"][0]).T),
             "mel_pred": display.plot_spectrogram(

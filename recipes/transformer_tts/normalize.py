@@ -36,11 +36,16 @@ def main():
     stats_dir.mkdir(parents=True, exist_ok=True)
 
     stats_path = stats_dir / "speech_stats.npy"
-    if args.compute_stats or not stats_path.exists():
+    if args.compute_stats:
         stats = RunningStats(np.load(records[0]["speech"]).shape[-1])
         for r in records:
             stats.update(np.load(r["speech"]))
         np.save(stats_path, np.stack([stats.mean, stats.std]))
+    elif not stats_path.exists():
+        raise SystemExit(
+            f"stats file {stats_path} not found — normalize the TRAIN "
+            "split first with --compute-stats (dev/test must reuse the "
+            "train statistics)")
     arr = np.load(stats_path)
     mean, std = arr[0], np.maximum(arr[1], 1e-8)
 

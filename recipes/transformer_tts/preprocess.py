@@ -21,7 +21,7 @@ from parakeet_tpu.audio.codec import load_wav
 from parakeet_tpu.audio.features import LogMelFBank
 from parakeet_tpu.data.datasets import LJSpeechMetaData
 from parakeet_tpu.data.datatable import write_jsonl
-from parakeet_tpu.frontend import English
+from parakeet_tpu.frontend import English, EnglishCharacter
 from parakeet_tpu.training.config import Config
 
 
@@ -42,12 +42,18 @@ def main():
                         help="LJSpeech-1.1 root (metadata.csv + wavs/)")
     parser.add_argument("--dumpdir", type=Path, default=Path("dump"))
     parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--frontend", default="phone",
+                        choices=("phone", "char"),
+                        help="ARPABET phones (TransformerTTS) or raw "
+                             "characters (the Tacotron2 convention, "
+                             "reference examples/tacotron2/preprocess.py)")
     parser.add_argument("--dev-size", type=int, default=100)
     parser.add_argument("--test-size", type=int, default=100)
     args = parser.parse_args()
 
     cfg = Config.from_yaml(args.config)
-    frontend = English()
+    frontend = (English() if args.frontend == "phone"
+                else EnglishCharacter())
     mel_extractor = LogMelFBank(sr=cfg.fs, n_fft=cfg.n_fft,
                                 hop_length=cfg.n_shift,
                                 win_length=cfg.win_length,
@@ -58,8 +64,14 @@ def main():
     wav_paths = {}
     for wav_path, normalized, _raw in meta.records:
         utt = Path(wav_path).stem
-        phones = [p for p in frontend.phoneticize(normalized)
-                  if not p.isspace()]
+        phones = frontend.phoneticize(normalized)
+        if args.frontend == "phone":
+            # ARPABET emits word-separator spaces; drop them
+            phones = [p for p in phones if not p.isspace()]
+        else:
+            # characters keep word boundaries (the reference character
+            # vocab includes " "), encoded map-safely as <sp>
+            phones = ["<sp>" if p.isspace() else p for p in phones]
         if not phones:
             continue
         sentences[utt] = (phones, utt[:2])  # speaker = LJ prefix

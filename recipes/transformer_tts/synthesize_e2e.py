@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parakeet_tpu.audio.codec import save_wav
-from parakeet_tpu.data.preprocess import load_id_map
+from parakeet_tpu.frontend.cli import build_text_to_ids
 from parakeet_tpu.models import (ConditionalWaveFlow, PWGGenerator,
                                  TransformerTTS, pwg_inference)
 from parakeet_tpu.ops.normalizer import ZScore
@@ -34,23 +34,6 @@ from parakeet_tpu.training.config import Config, \
 from parakeet_tpu.utils.device import add_device_arg, set_device
 
 
-def build_frontend(lang, phones_dict):
-    if lang == "zh":
-        from parakeet_tpu.frontend import Frontend
-        fe = Frontend(phone_vocab_path=str(phones_dict), strict=False)
-
-        def get_ids(sentence):
-            out = fe.get_input_ids(sentence)
-            return out["phone_ids"][0] if out.get("phone_ids") else []
-        return get_ids
-    from parakeet_tpu.frontend import English
-    phone_map = load_id_map(phones_dict)
-    en = English()
-
-    def get_ids(sentence):
-        return [phone_map[p] for p in en.phoneticize(sentence)
-                if p in phone_map]
-    return get_ids
 
 
 def build_vocoder(args):
@@ -105,6 +88,12 @@ def main():
     parser.add_argument("--max-decoder-steps", type=int, default=500)
     add_device_arg(parser)
     args = parser.parse_args()
+    for cfg_arg, ckpt_arg, name in (
+            (args.pwg_config, args.pwg_checkpoint, "pwg"),
+            (args.waveflow_config, args.waveflow_checkpoint, "waveflow")):
+        if (cfg_arg is None) != (ckpt_arg is None):
+            parser.error(f"--{name}-config and --{name}-checkpoint "
+                         "must be given together")
     set_device(args.device)
 
     cfg = Config.from_yaml(args.config)
@@ -113,7 +102,7 @@ def main():
                            **inference_model_kwargs(cfg.get("model", {})))
     variables = load_variables(args.checkpoint)
     norm = ZScore(*np.load(args.stat)) if args.stat else None
-    get_ids = build_frontend(args.lang, args.phones_dict)
+    get_ids = build_text_to_ids(args.lang, args.phones_dict)
     vocoder, voc_fs = build_vocoder(args)
 
     @jax.jit
@@ -129,7 +118,11 @@ def main():
         line = line.strip()
         if not line:
             continue
-        utt_id, sentence = line.split(maxsplit=1)
+        parts = line.split(maxsplit=1)
+        if len(parts) != 2:
+            print(f"skipping malformed line: {line!r}")
+            continue
+        utt_id, sentence = parts
         ids = get_ids(sentence)[:args.max_text_len]
         if not ids:
             print(f"{utt_id}: no phones, skipping")

@@ -100,7 +100,7 @@ def main():
         out = predict_step(trainer.updater.train_state, fig_batch)
         return {
             "alignment": display.plot_alignment(
-                np.asarray(out["dec_cross_attns"][-1, 0].mean(0)).T),
+                np.asarray(out["dec_cross_attns"][-1, 0].mean(0))),
             "mel_target": display.plot_spectrogram(
                 np.asarray(fig_batch["speech"][0]).T),
             "mel_pred": display.plot_spectrogram(

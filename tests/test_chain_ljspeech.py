@@ -158,8 +158,10 @@ def test_tacotron2_char_preprocess(lj_corpus):
     import json
     rows = [json.loads(l) for l in open(dump / "metadata_train.jsonl")]
     assert rows and all(Path(r["speech"]).exists() for r in rows)
-    # char frontend: tokens are single characters
-    assert all(len(t) == 1 for r in rows for t in r["phones"])
+    # char frontend: single characters, word boundaries as <sp>
+    assert all(len(t) == 1 or t == "<sp>"
+               for r in rows for t in r["phones"])
+    assert any(t == "<sp>" for r in rows for t in r["phones"])
     # the shared normalize wrapper maps tokens -> ids
     _run(RECIPES / "tacotron2" / "normalize.py",
          "--metadata", dump / "metadata_train.jsonl",
