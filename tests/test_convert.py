@@ -5,6 +5,7 @@ dict with the reference's key names and tensor layouts
 import jax
 import jax.numpy as jnp
 import numpy as np
+from pathlib import Path
 
 from parakeet_tpu.models import PWGGenerator
 from parakeet_tpu.utils.convert import convert_pwg_generator
@@ -606,3 +607,49 @@ def test_convert_fastspeech2_drop_in():
     out = model.apply(variables, text, jnp.full((1,), 8), max_frames=32,
                       method=FastSpeech2.inference)
     assert bool(jnp.isfinite(out["after_outs"]).all())
+
+
+def test_verify_parity_cli(tmp_path):
+    """tools/verify_parity.py: MSE 0 on a self-golden, fail + exit 1 on
+    a perturbed one (the BASELINE mel-MSE acceptance harness)."""
+    import json
+    import subprocess
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from parakeet_tpu.models import FastSpeech2
+    from parakeet_tpu.training.checkpoint import save_pytree
+    m = FastSpeech2(idim=11, odim=6, adim=16, aheads=2, elayers=1,
+                    eunits=24, dlayers=1, dunits=24, postnet_layers=1,
+                    postnet_chans=8, postnet_filts=3,
+                    duration_predictor_chans=8, pitch_predictor_chans=8,
+                    energy_predictor_chans=8)
+    text = jnp.asarray(np.random.default_rng(0).integers(1, 11, (1, 5)))
+    tl = jnp.asarray([5])
+    v = m.init({"params": jax.random.PRNGKey(0)}, text, tl,
+               method=FastSpeech2.inference, max_frames=16)
+    out = m.apply(v, text, tl, max_frames=16, min_duration=1,
+                  method=FastSpeech2.inference)
+    save_pytree(tmp_path / "ck.npz", v)
+    np.savez(tmp_path / "golden.npz", text=np.asarray(text),
+             text_lengths=[5],
+             mel=np.asarray(out["after_outs"])[0])
+    (tmp_path / "conf.yaml").write_text(
+        "n_mels: 6\nmodel:\n  adim: 16\n  aheads: 2\n  elayers: 1\n"
+        "  eunits: 24\n  dlayers: 1\n  dunits: 24\n  postnet_layers: 1\n"
+        "  postnet_chans: 8\n  postnet_filts: 3\n"
+        "  duration_predictor_chans: 8\n  pitch_predictor_chans: 8\n"
+        "  energy_predictor_chans: 8\n")
+
+    import os
+    env = dict(os.environ)
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [sys.executable, f"{repo}/tools/verify_parity.py",
+           "--model", "fastspeech2", "--config", tmp_path / "conf.yaml",
+           "--checkpoint", tmp_path / "ck.npz",
+           "--golden", tmp_path / "golden.npz", "--device", "cpu"]
+    p = subprocess.run([str(c) for c in cmd], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert p.returncode == 0, p.stderr[-1500:]
+    assert json.loads(p.stdout.strip().splitlines()[-1])["pass"] is True
