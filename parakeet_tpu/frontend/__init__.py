@@ -4,8 +4,8 @@ Equivalent of the reference package (reference: parakeet/frontend/):
 English (character / ARPABET) and Chinese (textnorm + tone sandhi +
 pinyin) pipelines, vocab, punctuation, rule-generated pinyin lexicon.
 """
-from .arpabet import (ARPABET_PHONES, ARPABET_STRESS_PHONES, LexiconG2P,
-                      RuleG2P, get_g2p)
+from .arpabet import (ARPABET, ARPABET_PHONES, ARPABET_STRESS_PHONES,
+                      ARPABETWithStress, LexiconG2P, RuleG2P, get_g2p)
 from .generate_lexicon import (FINALS, INITIALS, generate_lexicon,
                                split_syllable, syllable_to_phones)
 from .normalizer import normalize as normalize_en
@@ -19,6 +19,7 @@ from .zh_normalization import TextNormalizer
 
 __all__ = [
     "Vocab", "Phonetics", "English", "EnglishCharacter",
+    "ARPABET", "ARPABETWithStress",
     "ARPABET_PHONES", "ARPABET_STRESS_PHONES", "RuleG2P", "LexiconG2P",
     "get_g2p", "normalize_en", "get_punctuations",
     "Frontend", "TextNormalizer", "ToneSandhi",

@@ -16,7 +16,8 @@ import re
 from typing import Dict, List, Optional
 
 __all__ = ["ARPABET_PHONES", "ARPABET_STRESS_PHONES", "G2PBackend",
-           "RuleG2P", "LexiconG2P", "get_g2p"]
+           "RuleG2P", "LexiconG2P", "get_g2p", "ARPABET",
+           "ARPABETWithStress"]
 
 # The 39-phoneme ARPABET inventory (public standard; reference
 # arpabet.py:26 lists the same set).
@@ -155,3 +156,90 @@ def get_g2p(lexicon_path: Optional[str] = None) -> G2PBackend:
         return _G2pEnBackend()
     except Exception:
         return RuleG2P()
+
+
+class ARPABET:
+    """Sentence-level ARPABET frontend over a fixed 39-phone vocabulary
+    (reference arpabet.py:26-211): phoneticize / numericalize / reverse,
+    punctuation kept, optional <s>/</s> wrapping.
+    """
+
+    punctuations = [",", ".", "?", "!"]
+
+    def __init__(self, lexicon_path: Optional[str] = None):
+        from .normalizer import normalize
+        from .vocab import Vocab
+        self._normalize = normalize
+        self.backend = get_g2p(lexicon_path)
+        self.vocab = Vocab(ARPABET_PHONES + self.punctuations)
+
+    _WORD = re.compile(r"[a-z']+|[,.?!]")
+
+    def _word_phones(self, word: str) -> List[str]:
+        return [re.sub(r"\d", "", p)
+                for p in self.backend(word.replace("'", ""))]
+
+    def phoneticize(self, sentence: str,
+                    add_start_end: bool = False) -> List[str]:
+        phones: List[str] = []
+        for token in self._WORD.findall(self._normalize(sentence)):
+            if re.match(r"[a-z']", token):
+                phones.extend(self._word_phones(token))
+            else:
+                phones.append(token)
+        if add_start_end:
+            phones = ([self.vocab.start_symbol] + phones
+                      + [self.vocab.end_symbol])
+        return [p for p in phones if p in self.vocab.stoi]
+
+    def numericalize(self, phonemes: List[str]) -> List[int]:
+        return [self.vocab.lookup(p) for p in phonemes]
+
+    def reverse(self, ids: List[int]) -> List[str]:
+        return [self.vocab.reverse(i) for i in ids]
+
+    def __call__(self, sentence: str,
+                 add_start_end: bool = False) -> List[int]:
+        return self.numericalize(
+            self.phoneticize(sentence, add_start_end=add_start_end))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+
+class ARPABETWithStress(ARPABET):
+    """Stressed variant: vowels carry 0/1/2 stress marks (reference
+    arpabet.py:212-302).  Backends that emit no stress (the rule
+    fallback, stripped lexicons) default vowels to stress 0."""
+
+    def __init__(self, lexicon_path: Optional[str] = None):
+        from .normalizer import normalize
+        from .vocab import Vocab
+        self._normalize = normalize
+        if lexicon_path and os.path.exists(lexicon_path):
+            self.backend = LexiconG2P(lexicon_path, strip_stress=False)
+        else:
+            try:
+                from g2p_en import G2p
+
+                class _Stressed(G2PBackend):
+                    def __init__(self):
+                        self._g2p = G2p()
+
+                    def __call__(self, word):
+                        return [p for p in self._g2p(word)
+                                if re.match(r"[A-Z]", p)]
+                self.backend = _Stressed()
+            except Exception:
+                self.backend = RuleG2P()
+        self.vocab = Vocab(ARPABET_STRESS_PHONES + self.punctuations)
+
+    def _word_phones(self, word: str) -> List[str]:
+        out = []
+        for p in self.backend(word.replace("'", "")):
+            base = re.sub(r"\d", "", p)
+            if base in _VOWELS and not re.search(r"\d", p):
+                p = base + "0"
+            out.append(p)
+        return out

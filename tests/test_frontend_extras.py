@@ -70,3 +70,27 @@ def test_width_conversion_roundtrip():
     full = half_to_full_width(s)
     assert full == "Ｈｅｌｌｏ，　Ｗｏｒｌｄ！　１２３"
     assert full_to_half_width(full) == s
+
+
+def test_arpabet_frontends():
+    """ARPABET / ARPABETWithStress sentence frontends (reference
+    arpabet.py:26-302): fixed vocab sizes (47 / 77 incl. 4 specials),
+    round-trip numericalize/reverse, stress defaults."""
+    from parakeet_tpu.frontend import ARPABET, ARPABETWithStress
+    a = ARPABET()
+    assert a.vocab_size == 47
+    ph = a.phoneticize("hello, world!")
+    assert "," in ph and ph[-1] == "!"
+    assert a.reverse(a.numericalize(ph)) == ph
+    wrapped = a.phoneticize("hi", add_start_end=True)
+    assert wrapped[0] == "<s>" and wrapped[-1] == "</s>"
+    assert a("hi") == a.numericalize(a.phoneticize("hi"))
+
+    s = ARPABETWithStress()
+    assert s.vocab_size == 77
+    for p in s.phoneticize("hello"):
+        import re as _re
+        base = _re.sub(r"\d", "", p)
+        from parakeet_tpu.frontend.arpabet import _VOWELS
+        if base in _VOWELS:
+            assert _re.search(r"[012]$", p), p
