@@ -22,6 +22,7 @@ from typing import Callable, Dict, List, Optional
 from .extension import PRIORITY_READER, Extension
 from .reporter import scope
 from .triggers import get_trigger
+from ..utils.profiler import add_profiler_step
 from .updater import UpdaterBase
 
 __all__ = ["Trainer", "ExtensionEntry"]
@@ -51,7 +52,10 @@ class Trainer:
         self.extensions: "OrderedDict[str, ExtensionEntry]" = OrderedDict()
         self.observation: Dict = {}
         self.log_interval = log_interval
-        self.profiler_options = profiler_options
+        from ..utils.profiler import ProfilerOptions
+        self.profiler_options = (
+            ProfilerOptions(profiler_options)
+            if isinstance(profiler_options, str) else profiler_options)
         self._done = False
         for ext in extensions or []:
             self.extend(ext)
@@ -105,6 +109,8 @@ class Trainer:
         try:
             while not self.stop_trigger(self):
                 self.observation = {}
+                add_profiler_step(self.profiler_options,
+                                  self.updater.state.iteration)
                 with scope(self.observation):
                     tic = time.time()
                     update()

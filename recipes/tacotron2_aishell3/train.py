@@ -77,6 +77,10 @@ def main():
     parser.add_argument("--output-dir", type=Path, default=Path("exp"))
     parser.add_argument("--phones-dict", type=Path, required=True)
     parser.add_argument("--opts", nargs="*", default=[])
+    parser.add_argument("--profiler-options", default=None,
+                        help="'batch_range=[50,60];profile_path=...;"
+                             "exit_on_finished=true' jax-trace window "
+                             "(reference --profiler_options)")
     add_device_arg(parser)
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel devices (0 = single device; "
@@ -111,7 +115,8 @@ def main():
         mesh = make_mesh(data=args.dp)
     updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
     trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
-                      out=args.output_dir)
+                      out=args.output_dir,
+                      profiler_options=args.profiler_options)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),
                    trigger=(1, "epoch"))
     tb = TensorBoardWriter(logdir=args.output_dir / "tb")
