@@ -62,6 +62,22 @@ class Trainer:
 
     def setup(self) -> None:
         self.out.mkdir(parents=True, exist_ok=True)
+        # per-rank text log in the output dir (reference writes
+        # worker_{rank}.log, experiment.py:233-246)
+        import jax
+        rank = jax.process_index()
+        path = self.out / f"worker_{rank}.log"
+        root = logging.getLogger()
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == str(path)
+                   for h in root.handlers):
+            handler = logging.FileHandler(path)
+            handler.setFormatter(logging.Formatter(
+                "%(asctime)s %(levelname)s %(name)s: %(message)s"))
+            handler.setLevel(logging.INFO)
+            root.addHandler(handler)
+            if root.level > logging.INFO:
+                root.setLevel(logging.INFO)
 
     def extend(self, extension, name: Optional[str] = None, trigger=None,
                priority: Optional[int] = None) -> None:

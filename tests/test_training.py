@@ -240,3 +240,23 @@ def test_resolve_model_kwargs_dtype():
     import pytest
     with pytest.raises(ValueError):
         resolve_model_kwargs({"dtype": "int7"})
+
+
+def test_trainer_writes_worker_log(tmp_path):
+    """Trainer.setup attaches a per-rank worker_{rank}.log file handler
+    (reference experiment.py:233-246)."""
+    from parakeet_tpu.training.trainer import Trainer
+    from parakeet_tpu.training.updater import UpdaterBase, UpdaterState
+
+    class FakeUpdater(UpdaterBase):
+        def __init__(self):
+            self.state = UpdaterState()
+
+        def update(self):
+            self.state.iteration += 1
+
+    t = Trainer(FakeUpdater(), (3, "iteration"), out=tmp_path)
+    t.run()
+    log = tmp_path / "worker_0.log"
+    assert log.exists()
+    assert "iter" in log.read_text()
