@@ -91,6 +91,8 @@ def main():
                    trigger=(1, "iteration"))
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(1, "epoch"), priority=-100)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    cfg.dump(args.output_dir / "config.yaml")  # reproducibility record
     trainer.run()
 
 

@@ -137,6 +137,8 @@ def main():
     trainer.extend(FigureWriter(_figures, tb.writer), trigger=(1, "epoch"))
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(1, "epoch"), priority=-100)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    cfg.dump(args.output_dir / "config.yaml")  # reproducibility record
     trainer.run()
 
 

@@ -123,6 +123,8 @@ def main():
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(cfg.get("save_interval", 10000), "iteration"),
                    priority=-100)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    cfg.dump(args.output_dir / "config.yaml")  # reproducibility record
     trainer.run()
 
 
