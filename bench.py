@@ -66,6 +66,13 @@ def main():
     wav, frame_lengths, nz = synthesize(*args)
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 
+    # warmup rep: the first chained run after compile still carries
+    # one-time device cost (docs/tpu_performance.md checklist item 4)
+    for _ in range(3):
+        wav, frame_lengths, nz = synthesize(fs2_vars, pwg_vars["params"],
+                                            text, text_lengths, nz)
+    np.asarray(wav)
+
     # chained timing: each iteration's noise depends on the previous wav
     # (prevents elision), with ONE host fetch at the end — measures true
     # device throughput without per-call tunnel-sync overhead

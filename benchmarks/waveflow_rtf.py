@@ -48,6 +48,12 @@ def main():
     wav, key = infer(params, mel, key)
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 
+    # warmup rep: the first chained run after compile carries ~10x
+    # one-time device cost (see docs/tpu_performance.md checklist)
+    for _ in range(args.iters):
+        wav, key = infer(params, mel, key)
+    np.asarray(wav)
+
     tic = time.perf_counter()
     for _ in range(args.iters):
         wav, key = infer(params, mel, key)
