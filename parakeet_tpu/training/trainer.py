@@ -45,7 +45,8 @@ class Trainer:
                  out: str = "output",
                  extensions: Optional[List] = None,
                  log_interval: int = 1,
-                 profiler_options: Optional[str] = None):
+                 profiler_options: Optional[str] = None,
+                 config=None):
         self.updater = updater
         self.stop_trigger = get_trigger(stop_trigger)
         self.out = Path(out)
@@ -56,18 +57,25 @@ class Trainer:
         self.profiler_options = (
             ProfilerOptions(profiler_options)
             if isinstance(profiler_options, str) else profiler_options)
+        self.config = config
         self._done = False
         for ext in extensions or []:
             self.extend(ext)
 
     def setup(self) -> None:
         self.out.mkdir(parents=True, exist_ok=True)
+        if self.config is not None and hasattr(self.config, "dump"):
+            # reproducibility record of the exact merged hyperparameters
+            self.config.dump(self.out / "config.yaml")
         # per-rank text log in the output dir (reference writes
-        # worker_{rank}.log, experiment.py:233-246)
+        # worker_{rank}.log, experiment.py:233-246); handler removed
+        # in run()'s finally so sequential Trainers don't cross-write
         import jax
         rank = jax.process_index()
-        path = self.out / f"worker_{rank}.log"
+        path = (self.out / f"worker_{rank}.log").resolve()
         root = logging.getLogger()
+        self._log_handler = None
+        self._prev_root_level = root.level
         if not any(isinstance(h, logging.FileHandler)
                    and getattr(h, "baseFilename", None) == str(path)
                    for h in root.handlers):
@@ -76,6 +84,7 @@ class Trainer:
                 "%(asctime)s %(levelname)s %(name)s: %(message)s"))
             handler.setLevel(logging.INFO)
             root.addHandler(handler)
+            self._log_handler = handler
             if root.level > logging.INFO:
                 root.setLevel(logging.INFO)
 
@@ -171,6 +180,19 @@ class Trainer:
                     entry.extension.on_error(self, e, sys.exc_info()[2])
             raise
         finally:
+            opts = self.profiler_options
+            if opts is not None and getattr(opts, "_started", False):
+                # training ended inside the trace window — stop so the
+                # trace is actually written
+                import jax
+                jax.profiler.stop_trace()
+                opts._started, opts._done = False, True
+            if getattr(self, "_log_handler", None) is not None:
+                root = logging.getLogger()
+                root.removeHandler(self._log_handler)
+                self._log_handler.close()
+                self._log_handler = None
+                root.setLevel(self._prev_root_level)
             for entry in extensions:
                 if hasattr(entry.extension, "finalize"):
                     entry.extension.finalize(self)

@@ -33,7 +33,7 @@ def main():
     parser.add_argument("--phones-dict", type=Path, required=True)
     parser.add_argument("--text", type=Path, required=True)
     parser.add_argument("--output-dir", type=Path, default=Path("wavs"))
-    parser.add_argument("--lang", default="zh", choices=("zh", "en"))
+    parser.add_argument("--lang", default="zh", choices=("zh", "en", "en-char"))
     parser.add_argument("--fs", type=int, default=24000)
     add_device_arg(parser)
     args = parser.parse_args()

@@ -48,7 +48,7 @@ def main():
     parser.add_argument("--text", type=Path, required=True,
                         help="lines: <utt_id> <sentence>")
     parser.add_argument("--output-dir", type=Path, default=Path("wavs"))
-    parser.add_argument("--lang", default="zh", choices=("zh", "en"))
+    parser.add_argument("--lang", default="zh", choices=("zh", "en", "en-char"))
     parser.add_argument("--max-text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=1024)
     parser.add_argument("--export-dir", type=Path, default=None,

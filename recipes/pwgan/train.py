@@ -119,7 +119,8 @@ def main():
     updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
     trainer = Trainer(updater, (cfg.train_max_steps, "iteration"),
                       out=args.output_dir, log_interval=100,
-                      profiler_options=args.profiler_options)
+                      profiler_options=args.profiler_options,
+                      config=cfg)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),
                    trigger=(cfg.get("eval_interval_steps", 1000),
                             "iteration"))
@@ -128,8 +129,6 @@ def main():
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(cfg.get("save_interval_steps", 10000),
                             "iteration"), priority=-100)
-    args.output_dir.mkdir(parents=True, exist_ok=True)
-    cfg.dump(args.output_dir / "config.yaml")  # reproducibility record
     trainer.run()
 
 

@@ -84,15 +84,14 @@ def main():
     updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
     trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
                       out=args.output_dir,
-                      profiler_options=args.profiler_options)
+                      profiler_options=args.profiler_options,
+                      config=cfg)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),
                    trigger=(1, "epoch"))
     trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
                    trigger=(1, "iteration"))
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(1, "epoch"), priority=-100)
-    args.output_dir.mkdir(parents=True, exist_ok=True)
-    cfg.dump(args.output_dir / "config.yaml")  # reproducibility record
     trainer.run()
 
 

@@ -12,7 +12,8 @@ import sys
 from pathlib import Path
 
 if __name__ == "__main__":
-    if not any(a == "--frontend" for a in sys.argv):
+    if not any(a == "--frontend" or a.startswith("--frontend=")
+               for a in sys.argv):
         sys.argv += ["--frontend", "char"]
     sys.argv[0] = __file__
     runpy.run_path(str(Path(__file__).resolve().parent.parent /

@@ -83,7 +83,7 @@ def main():
     parser.add_argument("--pwg-config", type=Path, default=None)
     parser.add_argument("--pwg-checkpoint", type=Path, default=None)
     parser.add_argument("--output-dir", type=Path, default=Path("wavs"))
-    parser.add_argument("--lang", default="en", choices=("zh", "en"))
+    parser.add_argument("--lang", default="en", choices=("zh", "en", "en-char"))
     parser.add_argument("--max-text-len", type=int, default=192)
     parser.add_argument("--max-decoder-steps", type=int, default=500)
     add_device_arg(parser)

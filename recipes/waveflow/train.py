@@ -115,7 +115,8 @@ def main():
     updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
     trainer = Trainer(updater, (cfg.max_iteration, "iteration"),
                       out=args.output_dir, log_interval=100,
-                      profiler_options=args.profiler_options)
+                      profiler_options=args.profiler_options,
+                      config=cfg)
     trainer.extend(StandardEvaluator(eval_step, dev_dl),
                    trigger=(cfg.get("valid_interval", 1000), "iteration"))
     trainer.extend(TensorBoardWriter(logdir=args.output_dir / "tb"),
@@ -123,8 +124,6 @@ def main():
     trainer.extend(Snapshot(max_size=cfg.get("num_snapshots", 5)),
                    trigger=(cfg.get("save_interval", 10000), "iteration"),
                    priority=-100)
-    args.output_dir.mkdir(parents=True, exist_ok=True)
-    cfg.dump(args.output_dir / "config.yaml")  # reproducibility record
     trainer.run()
 
 

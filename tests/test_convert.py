@@ -628,8 +628,9 @@ def test_verify_parity_cli(tmp_path):
     tl = jnp.asarray([5])
     v = m.init({"params": jax.random.PRNGKey(0)}, text, tl,
                method=FastSpeech2.inference, max_frames=16)
-    out = m.apply(v, text, tl, max_frames=16, min_duration=1,
-                  method=FastSpeech2.inference)
+    out = m.apply(v, text, tl, max_frames=16, min_duration=0,
+                  method=FastSpeech2.inference)  # match the tool's
+                  # reference-exact duration semantics
     save_pytree(tmp_path / "ck.npz", v)
     np.savez(tmp_path / "golden.npz", text=np.asarray(text),
              text_lengths=[5],

@@ -57,8 +57,9 @@ def run_fastspeech2(args, golden):
     n = ref.shape[1]
     out = model.apply(variables, text,
                       jnp.asarray(golden["text_lengths"]),
-                      max_frames=max(n, 8), min_duration=1,
-                      method=FastSpeech2.inference)
+                      max_frames=max(n, 8), min_duration=0,
+                      method=FastSpeech2.inference)  # reference allows
+                      # zero-length tokens; flooring would shift frames
     mel = np.asarray(out["after_outs"])[:, :n]
     return mel, ref
 
@@ -75,7 +76,7 @@ def run_speedyspeech(args, golden):
         tones = jnp.asarray(tones)
         if tones.ndim == 1:
             tones = tones[None]
-    vocab = int(variables["params"]["encoder"]["embedding"]["embed"]
+    vocab = int(variables["params"]["embedding"]["text_embed"]
                 ["embedding"].shape[0])
     model = SpeedySpeech(vocab_size=vocab, **imk(cfg.get("model", {})))
     ref = np.asarray(golden["mel"])
@@ -95,9 +96,11 @@ def run_pwgan(args, golden):
     gen = PWGGenerator(**imk(cfg.get("generator_params", {})))
     mel = jnp.asarray(golden["mel"])
     noise = golden.get("noise")
-    wav = pwg_inference(gen, variables, mel,
-                        noise=(None if noise is None
-                               else jnp.asarray(noise)))
+    if noise is None:
+        raise SystemExit(
+            "pwgan goldens must include the exact 'noise' array the "
+            "reference used — random noise can never match the wav")
+    wav = pwg_inference(gen, variables, mel, noise=jnp.asarray(noise))
     ref = np.asarray(golden["wav"]).reshape(-1)
     got = np.asarray(wav).reshape(-1)[:len(ref)]
     return got, ref
