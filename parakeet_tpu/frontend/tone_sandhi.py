@@ -3,14 +3,19 @@
 Equivalent of the reference ToneSandhi (reference:
 parakeet/frontend/tone_sandhi.py:22-343): neutral-tone (轻声) rules,
 不/一 sandhi, third-tone sandhi with jieba-based word splitting, and the
-word-merge preprocessing pass.
+word-merge preprocessing pass (merge 不/一/reduplications/consecutive
+third tones/儿 so the per-word rules can see across jieba boundaries).
 
 Finals are Parakeet-style toned finals (e.g. ``ia1``, ``uen5``); tones are
-the last character of each final.
+the last character of each final.  The word lists live in
+``_sandhi_data.py`` and are carried verbatim from the reference (rule
+lists are data).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Callable, List, Optional, Tuple
+
+from ._sandhi_data import MUST_NEURAL_TONE_WORDS, MUST_NOT_NEURAL_TONE_WORDS
 
 try:
     import jieba
@@ -21,21 +26,12 @@ except Exception:          # pragma: no cover - jieba is in the image
 
 __all__ = ["ToneSandhi"]
 
-# words read with a neutral second syllable (subset of the reference's
-# must-list, tone_sandhi.py:26-70)
-_NEURAL_WORDS = {
-    "麻烦", "商量", "耽误", "便宜", "东西", "玻璃", "打听", "告诉",
-    "意思", "喜欢", "知识", "咳嗽", "力气", "钥匙", "衣服", "累赘",
-    "招呼", "时候", "事情", "丈夫", "月亮", "脑袋", "抖擞", "风筝",
-    "休息", "拾掇", "凑合", "石头", "木头", "舌头", "先生", "学生",
-    "亲戚", "朋友", "规矩", "点心", "扫帚", "眉毛", "豆腐", "枕头",
-    "屁股", "念叨", "别扭", "答应", "云彩", "窗户", "斗篷", "队伍",
-    "暖和", "棉花", "骆驼", "葡萄", "杏儿", "柴火", "活泼", "明白",
-    "师傅", "馒头", "行李", "戒指", "讲究", "机灵", "蘑菇", "磨蹭",
-    "疙瘩", "结实", "漂亮", "困难", "扁担", "关系", "客气", "收拾",
-}
-_NEURAL_SUFFIXES = set("们子头家儿")
-_PARTICLES = set("的地得着了过吧呢啊嘛吗呀哇哟哦")
+# sentence-final modal particles (reference tone_sandhi.py:87)
+_MODAL_PARTICLES = set("吧呢哈啊呐噻嘛吖嗨呐哦哒额滴哩哟喽啰耶喔诶")
+# structural particles, always neutral (reference tone_sandhi.py:89)
+_DE_PARTICLES = set("的地得")
+# characters that can take 个 as a classifier prefix (reference :104-106)
+_GE_PREFIXES = set("几有两半多各整每做是")
 
 
 def _set_tone(final: str, tone: str) -> str:
@@ -47,37 +43,66 @@ def _tone(final: str) -> str:
 
 
 class ToneSandhi:
-    def __init__(self):
-        self.must_neural_tone_words = set(_NEURAL_WORDS)
+    """Rule-based Mandarin tone changes.
 
-    # ---- individual rules (reference tone_sandhi.py:74-326) -----------
+    ``finals_fn`` (optional) maps a word to its list of toned finals; it
+    enables the consecutive-third-tone merge passes in
+    :meth:`pre_merge_for_modify` (the reference uses pypinyin there,
+    tone_sandhi.py:255-262 — here the frontend injects whichever G2P
+    backend is live).
+    """
+
+    def __init__(self, finals_fn: Optional[Callable[[str], List[str]]] = None):
+        self.must_neural_tone_words = set(MUST_NEURAL_TONE_WORDS)
+        self.must_not_neural_tone_words = set(MUST_NOT_NEURAL_TONE_WORDS)
+        self._finals_fn = finals_fn
+
+    # ---- individual rules (reference tone_sandhi.py:74-205) -----------
     def _neural_sandhi(self, word: str, pos: str,
                        finals: List[str]) -> List[str]:
         n = len(word)
-        # reduplication: 妈妈, 看看
+        # reduplication of nouns/verbs/adjectives: 奶奶, 试试, 旺旺
         for i in range(1, n):
             if word[i] == word[i - 1] and pos[0] in ("n", "v", "a"):
                 finals[i] = _set_tone(finals[i], "5")
-        # sentence particles
-        if n >= 1 and word[-1] in _PARTICLES:
+        ge_idx = word.find("个")
+        if n >= 1 and word[-1] in _MODAL_PARTICLES:
             finals[-1] = _set_tone(finals[-1], "5")
-        # suffixes 们/子/... on nouns/pronouns
-        elif (n >= 2 and word[-1] in _NEURAL_SUFFIXES
-                and pos in ("n", "r", "nr")
-                and word not in ("公子", "棋子", "男子", "女子", "分子",
-                                 "原子", "量子", "莲子", "石子", "瓜子",
-                                 "电子")):
+        elif n >= 1 and word[-1] in _DE_PARTICLES:
             finals[-1] = _set_tone(finals[-1], "5")
-        # 上/下/里 as locative suffix
-        elif n >= 2 and word[-1] in "上下里" and pos in ("s", "l", "f"):
+        # aspect particles standing alone: 走了, 看着, 去过
+        elif n == 1 and word in "了着过" and pos in ("ul", "uz", "ug"):
             finals[-1] = _set_tone(finals[-1], "5")
-        # 来/去 after verbs
-        elif n >= 2 and word[-1] in "来去" and word[-2] in "上下进出回过起开":
+        elif (n > 1 and word[-1] in "们子" and pos in ("r", "n")
+                and word not in self.must_not_neural_tone_words):
             finals[-1] = _set_tone(finals[-1], "5")
-        if word in self.must_neural_tone_words:
+        # 上/下/里 as locative suffix: 桌上, 地下, 家里
+        elif n > 1 and word[-1] in "上下里" and pos in ("s", "l", "f"):
             finals[-1] = _set_tone(finals[-1], "5")
-        elif n >= 3 and word[-2:] in self.must_neural_tone_words:
+        # directional 来/去 after 上下进出回过起开
+        elif n > 1 and word[-1] in "来去" and word[-2] in "上下进出回过起开":
             finals[-1] = _set_tone(finals[-1], "5")
+        # 个 as classifier: 三个, 有个, or bare 个
+        elif (ge_idx >= 1 and (word[ge_idx - 1].isnumeric()
+                               or word[ge_idx - 1] in _GE_PREFIXES)) \
+                or word == "个":
+            finals[ge_idx] = _set_tone(finals[ge_idx], "5")
+        else:
+            if (word in self.must_neural_tone_words
+                    or word[-2:] in self.must_neural_tone_words):
+                finals[-1] = _set_tone(finals[-1], "5")
+
+        # re-check each jieba sub-word against the must list (a merged
+        # word like 一会儿工夫 still needs 工夫 neutralized)
+        parts = self._split_word(word)
+        if len(parts) == 2:
+            split = len(parts[0])
+            chunks = [finals[:split], finals[split:]]
+            for i, part in enumerate(parts):
+                if chunks[i] and (part in self.must_neural_tone_words
+                                  or part[-2:] in self.must_neural_tone_words):
+                    chunks[i][-1] = _set_tone(chunks[i][-1], "5")
+            finals = chunks[0] + chunks[1]
         return finals
 
     def _bu_sandhi(self, word: str, finals: List[str]) -> List[str]:
@@ -92,13 +117,15 @@ class ToneSandhi:
         return finals
 
     def _yi_sandhi(self, word: str, finals: List[str]) -> List[str]:
-        # 一 between reduplicated words: 看一看 -> neutral
+        # 一 inside a digit sequence keeps tone1: 一零零, 二一零
+        if "一" in word and all(ch.isnumeric() for ch in word if ch != "一"):
+            return finals
+        # 一 between reduplicated verbs: 看一看 -> neutral
         if len(word) == 3 and word[1] == "一" and word[0] == word[-1]:
             finals[1] = _set_tone(finals[1], "5")
-        # ordinal / part of a number: keep tone1
-        elif word.startswith("第一") or all(
-                ch in "零一二三四五六七八九十百千万亿两点" for ch in word):
-            return finals
+        # ordinal: 第一 keeps tone1
+        elif word.startswith("第一"):
+            finals[1] = _set_tone(finals[1], "1")
         else:
             for i, ch in enumerate(word):
                 if ch == "一" and i + 1 < len(word):
@@ -126,20 +153,25 @@ class ToneSandhi:
         elif n == 3:
             parts = self._split_word(word)
             if self._all_tone_three(finals):
-                if len(parts[0]) == 2:        # AA B -> 2 2 3
+                if len(parts[0]) == 2:        # AA B -> 2 2 3 (蒙古/包)
                     finals[0] = _set_tone(finals[0], "2")
                     finals[1] = _set_tone(finals[1], "2")
-                else:                          # A BB -> 3 2 3
+                else:                          # A BB -> 3 2 3 (纸/老虎)
                     finals[1] = _set_tone(finals[1], "2")
-            else:
-                # sub-word pairwise 3-3
-                idx = 0
-                for part in parts:
-                    sub = finals[idx:idx + len(part)]
+            elif len(parts) == 2:
+                split = len(parts[0])
+                chunks = [finals[:split], finals[split:]]
+                for i, sub in enumerate(chunks):
+                    # a fully-third-tone disyllabic sub-word: 所有/人
                     if len(sub) == 2 and self._all_tone_three(sub):
-                        finals[idx] = _set_tone(finals[idx], "2")
-                    idx += len(part)
-        elif n == 4:                           # split 2 + 2
+                        sub[0] = _set_tone(sub[0], "2")
+                    # 3-3 across the sub-word boundary: 好/喜欢
+                    elif (i == 1 and sub and not self._all_tone_three(sub)
+                            and _tone(sub[0]) == "3"
+                            and chunks[0] and _tone(chunks[0][-1]) == "3"):
+                        chunks[0][-1] = _set_tone(chunks[0][-1], "2")
+                finals = chunks[0] + chunks[1]
+        elif n == 4:                           # idiom: split 2 + 2
             for start in (0, 2):
                 sub = finals[start:start + 2]
                 if self._all_tone_three(sub):
@@ -148,31 +180,125 @@ class ToneSandhi:
 
     @staticmethod
     def _all_tone_three(finals: List[str]) -> bool:
-        return all(_tone(f) == "3" for f in finals)
+        return bool(finals) and all(_tone(f) == "3" for f in finals)
 
-    # ---- public API ----------------------------------------------------
-    def pre_merge_for_modify(
-            self, seg: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
-        """Merge 不/一 and reduplications with neighbors so the per-word
-        rules can see them (reference tone_sandhi.py:327-343)."""
+    # ---- segment merge passes (reference tone_sandhi.py:209-334) -------
+    @staticmethod
+    def _is_reduplication(word: str) -> bool:
+        return len(word) == 2 and word[0] == word[1]
+
+    @staticmethod
+    def _merge_bu(seg: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
+        """Attach a dangling 不 to the following word (看 不 懂 -> 看 不懂)."""
+        out: List[Tuple[str, str]] = []
+        pending = False
+        for word, pos in seg:
+            if pending:
+                word = "不" + word
+                pending = False
+            if word == "不":
+                pending = True
+            else:
+                out.append((word, pos))
+        if pending:
+            out.append(("不", "d"))
+        return out
+
+    @staticmethod
+    def _merge_yi(seg: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
+        """听 一 听 -> 听一听; also glue a dangling 一 onto the next word."""
         out: List[Tuple[str, str]] = []
         i = 0
         while i < len(seg):
             word, pos = seg[i]
-            if word in ("不", "一") and i + 1 < len(seg):
-                nxt, npos = seg[i + 1]
-                out.append((word + nxt, npos))
-                i += 2
-                continue
-            if (out and out[-1][0] == word and len(word) == 1
-                    and pos[0] in ("n", "v", "a")):
+            if (word == "一" and out and i + 1 < len(seg)
+                    and seg[i - 1][0] == seg[i + 1][0]
+                    and seg[i - 1][1] == "v"):
                 prev, ppos = out.pop()
-                out.append((prev + word, ppos))
-                i += 1
+                out.append((prev + "一" + seg[i + 1][0], ppos))
+                i += 2
                 continue
             out.append((word, pos))
             i += 1
+        merged: List[Tuple[str, str]] = []
+        for word, pos in out:
+            if merged and merged[-1][0] == "一":
+                merged[-1] = ("一" + word, pos)
+            else:
+                merged.append((word, pos))
+        return merged
+
+    @staticmethod
+    def _merge_reduplication(
+            seg: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
+        out: List[Tuple[str, str]] = []
+        for word, pos in seg:
+            if out and word == out[-1][0]:
+                out[-1] = (out[-1][0] + word, out[-1][1])
+            else:
+                out.append((word, pos))
         return out
+
+    def _word_finals(self, word: str) -> Optional[List[str]]:
+        if self._finals_fn is None:
+            return None
+        try:
+            finals = self._finals_fn(word)
+        except Exception:
+            return None
+        return finals if finals else None
+
+    def _merge_three_tones(self, seg: List[Tuple[str, str]],
+                           whole_word: bool) -> List[Tuple[str, str]]:
+        """Merge neighbors that form a 3-3 pattern so _three_sandhi can
+        fix them.  ``whole_word``: both words entirely third-tone
+        (reference :253-278); else only the boundary syllables
+        (reference :283-305)."""
+        finals_list = [self._word_finals(w) for w, _ in seg]
+        if any(f is None for f in finals_list):
+            return seg
+        out: List[Tuple[str, str]] = []
+        merged_prev = False
+        for i, (word, pos) in enumerate(seg):
+            if whole_word:
+                hit = (i > 0 and self._all_tone_three(finals_list[i - 1])
+                       and self._all_tone_three(finals_list[i]))
+            else:
+                hit = (i > 0 and _tone(finals_list[i - 1][-1]) == "3"
+                       and _tone(finals_list[i][0]) == "3")
+            if hit and not merged_prev and out \
+                    and not self._is_reduplication(seg[i - 1][0]) \
+                    and len(seg[i - 1][0]) + len(word) <= 3:
+                out[-1] = (out[-1][0] + word, out[-1][1])
+                merged_prev = True
+            else:
+                out.append((word, pos))
+                merged_prev = False
+        return out
+
+    @staticmethod
+    def _merge_er(seg: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
+        out: List[Tuple[str, str]] = []
+        for word, pos in seg:
+            if out and word == "儿":
+                out[-1] = (out[-1][0] + word, out[-1][1])
+            else:
+                out.append((word, pos))
+        return out
+
+    # ---- public API ----------------------------------------------------
+    def pre_merge_for_modify(
+            self, seg: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
+        """Merge 不/一, reduplications, consecutive third tones and 儿
+        with their neighbors so the per-word rules can see them
+        (reference tone_sandhi.py:327-334)."""
+        seg = self._merge_bu(seg)
+        seg = self._merge_yi(seg)
+        seg = self._merge_reduplication(seg)
+        seg = self._merge_three_tones(seg, whole_word=True)
+        seg = self._merge_three_tones(seg, whole_word=False)
+        seg = self._merge_er(seg)
+        return seg
 
     def modified_tone(self, word: str, pos: str,
                       finals: List[str]) -> List[str]:

@@ -182,7 +182,6 @@ class Frontend:
                  pinyin_lexicon_path: Optional[str] = None,
                  strict: bool = True):
         self.text_normalizer = TextNormalizer()
-        self.tone_sandhi = ToneSandhi()
         try:
             self.g2p = _PypinyinG2P()
         except Exception:
@@ -190,6 +189,10 @@ class Frontend:
                 self.g2p = _LexiconZhG2P(pinyin_lexicon_path)
             else:
                 self.g2p = _BuiltinG2P(strict=strict)
+        # inject the live G2P so ToneSandhi's consecutive-third-tone merge
+        # passes can see per-word tones (reference tone_sandhi.py:255-262
+        # uses pypinyin directly there)
+        self.tone_sandhi = ToneSandhi(finals_fn=self.g2p)
         self.phone_vocab = self._load_vocab(phone_vocab_path)
         self.tone_vocab = self._load_vocab(tone_vocab_path)
 

@@ -1,114 +1,21 @@
 """Traditional -> simplified Chinese character conversion (reference:
 parakeet/frontend/zh_normalization/char_convert.py).
 
-The reference carries a full mapping table; here we embed the most common
-traditional characters (coverage of everyday text) — unknown characters
-pass through unchanged.
+The character tables (10,737 aligned pairs) live in
+``_char_convert_data.py`` and are carried verbatim from the reference —
+they are linguistic data.  A simplified character can correspond to
+multiple traditional characters; the t2s direction keeps the first
+pairing, matching the reference dict-comprehension behavior.  Unknown
+characters pass through unchanged.
 """
 from __future__ import annotations
 
+from ._char_convert_data import SIMPLIFIED_CHARACTERS, TRADITIONAL_CHARACTERS
+
 __all__ = ["tranditional_to_simplified", "simplified_to_traditional"]
 
-_T2S = {
-    "愛": "爱", "礙": "碍", "罷": "罢", "備": "备", "筆": "笔", "畢": "毕",
-    "幣": "币", "邊": "边", "變": "变", "標": "标", "錶": "表", "別": "别",
-    "賓": "宾", "補": "补", "佈": "布", "財": "财", "參": "参", "倉": "仓",
-    "產": "产", "長": "长", "嘗": "尝", "車": "车", "徹": "彻", "塵": "尘",
-    "稱": "称", "懲": "惩", "遲": "迟", "齒": "齿", "衝": "冲", "蟲": "虫",
-    "醜": "丑", "處": "处", "傳": "传", "創": "创", "詞": "词", "從": "从",
-    "聰": "聪", "達": "达", "帶": "带", "貸": "贷", "單": "单", "當": "当",
-    "黨": "党", "導": "导", "燈": "灯", "鄧": "邓", "敵": "敌", "遞": "递",
-    "點": "点", "電": "电", "釣": "钓", "調": "调", "丟": "丢", "東": "东",
-    "動": "动", "凍": "冻", "獨": "独", "讀": "读", "斷": "断", "隊": "队",
-    "對": "对", "噸": "吨", "奪": "夺", "兒": "儿", "爾": "尔", "發": "发",
-    "範": "范", "飛": "飞", "費": "费", "紛": "纷", "墳": "坟", "豐": "丰",
-    "風": "风", "鳳": "凤", "膚": "肤", "婦": "妇", "復": "复", "該": "该",
-    "蓋": "盖", "幹": "干", "趕": "赶", "個": "个", "給": "给", "貢": "贡",
-    "溝": "沟", "構": "构", "購": "购", "顧": "顾", "關": "关", "觀": "观",
-    "廣": "广", "歸": "归", "龜": "龟", "國": "国", "過": "过", "還": "还",
-    "漢": "汉", "號": "号", "閡": "阂", "賀": "贺", "紅": "红", "後": "后",
-    "壺": "壶", "華": "华", "畫": "画", "話": "话", "懷": "怀", "壞": "坏",
-    "歡": "欢", "環": "环", "換": "换", "黃": "黄", "會": "会", "婚": "婚",
-    "貨": "货", "獲": "获", "機": "机", "積": "积", "雞": "鸡", "極": "极",
-    "級": "级", "擠": "挤", "幾": "几", "計": "计", "記": "记", "際": "际",
-    "繼": "继", "夾": "夹", "價": "价", "駕": "驾", "堅": "坚", "間": "间",
-    "減": "减", "見": "见", "鍵": "键", "將": "将", "講": "讲", "獎": "奖",
-    "膠": "胶", "階": "阶", "節": "节", "潔": "洁", "結": "结", "誡": "诫",
-    "緊": "紧", "進": "进", "驚": "惊", "經": "经", "鏡": "镜", "舊": "旧",
-    "劇": "剧", "據": "据", "捲": "卷", "覺": "觉", "軍": "军", "開": "开",
-    "殼": "壳", "課": "课", "墾": "垦", "懇": "恳", "庫": "库", "誇": "夸",
-    "塊": "块", "寬": "宽", "礦": "矿", "虧": "亏", "困": "困", "擴": "扩",
-    "蠟": "蜡", "來": "来", "蘭": "兰", "攔": "拦", "爛": "烂", "勞": "劳",
-    "樂": "乐", "雷": "雷", "類": "类", "離": "离", "禮": "礼", "麗": "丽",
-    "歷": "历", "連": "连", "蓮": "莲", "臉": "脸", "練": "练", "糧": "粮",
-    "兩": "两", "輛": "辆", "療": "疗", "獵": "猎", "臨": "临", "靈": "灵",
-    "齡": "龄", "領": "领", "劉": "刘", "龍": "龙", "樓": "楼", "錄": "录",
-    "慮": "虑", "倫": "伦", "羅": "罗", "駱": "骆", "媽": "妈", "馬": "马",
-    "買": "买", "賣": "卖", "滿": "满", "貿": "贸", "沒": "没", "門": "门",
-    "們": "们", "夢": "梦", "謎": "谜", "麵": "面", "廟": "庙", "滅": "灭",
-    "閩": "闽", "鳴": "鸣", "謀": "谋", "畝": "亩", "難": "难", "惱": "恼",
-    "腦": "脑", "鬧": "闹", "內": "内", "擬": "拟", "鳥": "鸟", "聶": "聂",
-    "寧": "宁", "農": "农", "濃": "浓", "諾": "诺", "歐": "欧", "盤": "盘",
-    "賠": "赔", "噴": "喷", "騙": "骗", "貧": "贫", "評": "评", "潑": "泼",
-    "撲": "扑", "鋪": "铺", "僕": "仆", "齊": "齐", "啟": "启", "氣": "气",
-    "棄": "弃", "牽": "牵", "鉛": "铅", "遷": "迁", "簽": "签", "錢": "钱",
-    "潛": "潜", "槍": "枪", "牆": "墙", "強": "强", "搶": "抢", "橋": "桥",
-    "僑": "侨", "親": "亲", "輕": "轻", "傾": "倾", "慶": "庆", "窮": "穷",
-    "區": "区", "軀": "躯", "趨": "趋", "權": "权", "勸": "劝", "確": "确",
-    "讓": "让", "擾": "扰", "熱": "热", "認": "认", "榮": "荣", "軟": "软",
-    "銳": "锐", "閏": "闰", "潤": "润", "灑": "洒", "傘": "伞", "喪": "丧",
-    "殺": "杀", "紗": "纱", "篩": "筛", "曬": "晒", "傷": "伤", "賞": "赏",
-    "燒": "烧", "紹": "绍", "攝": "摄", "設": "设", "紳": "绅", "審": "审",
-    "勝": "胜", "聖": "圣", "師": "师", "詩": "诗", "獅": "狮", "濕": "湿",
-    "時": "时", "實": "实", "識": "识", "勢": "势", "適": "适", "釋": "释",
-    "飾": "饰", "視": "视", "試": "试", "壽": "寿", "獸": "兽", "書": "书",
-    "術": "术", "樹": "树", "豎": "竖", "數": "数", "帥": "帅", "雙": "双",
-    "誰": "谁", "稅": "税", "順": "顺", "說": "说", "碩": "硕", "絲": "丝",
-    "飼": "饲", "鬆": "松", "頌": "颂", "訟": "讼", "誦": "诵", "蘇": "苏",
-    "訴": "诉", "雖": "虽", "隨": "随", "歲": "岁", "孫": "孙", "損": "损",
-    "縮": "缩", "態": "态", "攤": "摊", "歎": "叹", "湯": "汤", "燙": "烫",
-    "討": "讨", "騰": "腾", "題": "题", "體": "体", "條": "条", "貼": "贴",
-    "鐵": "铁", "廳": "厅", "聽": "听", "銅": "铜", "統": "统", "頭": "头",
-    "圖": "图", "塗": "涂", "團": "团", "頑": "顽", "萬": "万", "網": "网",
-    "違": "违", "圍": "围", "為": "为", "濰": "潍", "維": "维", "偉": "伟",
-    "偽": "伪", "緯": "纬", "謂": "谓", "衛": "卫", "溫": "温", "聞": "闻",
-    "穩": "稳", "問": "问", "無": "无", "誤": "误", "務": "务", "霧": "雾",
-    "犧": "牺", "習": "习", "戲": "戏", "係": "系", "細": "细", "蝦": "虾",
-    "嚇": "吓", "鮮": "鲜", "纖": "纤", "賢": "贤", "銜": "衔", "閒": "闲",
-    "顯": "显", "險": "险", "現": "现", "獻": "献", "縣": "县", "線": "线",
-    "鄉": "乡", "詳": "详", "響": "响", "項": "项", "蕭": "萧", "銷": "销",
-    "曉": "晓", "協": "协", "挾": "挟", "寫": "写", "謝": "谢", "鋅": "锌",
-    "釁": "衅", "興": "兴", "洶": "汹", "鏽": "锈", "須": "须", "許": "许",
-    "緒": "绪", "續": "续", "軒": "轩", "選": "选", "學": "学", "勛": "勋",
-    "詢": "询", "訓": "训", "訊": "讯", "遜": "逊", "壓": "压", "鴉": "鸦",
-    "亞": "亚", "嚴": "严", "鹽": "盐", "顏": "颜", "陽": "阳", "養": "养",
-    "樣": "样", "堯": "尧", "藥": "药", "爺": "爷", "葉": "叶", "頁": "页",
-    "業": "业", "醫": "医", "儀": "仪", "遺": "遗", "義": "义", "億": "亿",
-    "憶": "忆", "藝": "艺", "議": "议", "譯": "译", "異": "异", "陰": "阴",
-    "銀": "银", "飲": "饮", "隱": "隐", "應": "应", "營": "营", "贏": "赢",
-    "擁": "拥", "傭": "佣", "優": "优", "郵": "邮", "猶": "犹", "遊": "游",
-    "於": "于", "餘": "余", "魚": "鱼", "漁": "渔", "與": "与", "語": "语",
-    "獄": "狱", "譽": "誉", "預": "预", "員": "员", "圓": "圆", "遠": "远",
-    "願": "愿", "約": "约", "躍": "跃", "運": "运", "醞": "酝", "雜": "杂",
-    "災": "灾", "載": "载", "贊": "赞", "讚": "赞", "髒": "脏", "鑿": "凿",
-    "棗": "枣", "責": "责", "擇": "择", "澤": "泽", "賊": "贼", "贈": "赠",
-    "軋": "轧", "閘": "闸", "齋": "斋", "債": "债", "氈": "毡", "戰": "战",
-    "張": "张", "漲": "涨", "帳": "帐", "賬": "账", "趙": "赵", "這": "这",
-    "貞": "贞", "針": "针", "偵": "侦", "診": "诊", "鎮": "镇", "陣": "阵",
-    "爭": "争", "徵": "征", "鄭": "郑", "證": "证", "織": "织", "職": "职",
-    "執": "执", "紙": "纸", "誌": "志", "製": "制", "質": "质", "滯": "滞",
-    "鐘": "钟", "終": "终", "種": "种", "腫": "肿", "眾": "众", "晝": "昼",
-    "豬": "猪", "諸": "诸", "築": "筑", "囑": "嘱", "專": "专", "磚": "砖",
-    "轉": "转", "賺": "赚", "莊": "庄", "裝": "装", "壯": "壮", "狀": "状",
-    "準": "准", "濁": "浊", "資": "资", "蹤": "踪", "總": "总", "縱": "纵",
-    "組": "组", "鑽": "钻", "館": "馆", "嗎": "吗", "裡": "里",
-    "貝": "贝", "們": "们", "錯": "错", "訪": "访", "場": "场",
-    "島": "岛", "橫": "横", "凱": "凯", "灣": "湾", "淺": "浅",
-    "園": "园", "聯": "联", "隻": "只", "臺": "台", "灯": "灯",
-    "餐": "餐", "雲": "云", "蒼": "苍", "嶺": "岭", "衛": "卫",
-}
-
-_S2T = {v: k for k, v in _T2S.items()}
+_S2T = dict(zip(SIMPLIFIED_CHARACTERS, TRADITIONAL_CHARACTERS))
+_T2S = dict(zip(TRADITIONAL_CHARACTERS, SIMPLIFIED_CHARACTERS))
 
 
 def tranditional_to_simplified(text: str) -> str:

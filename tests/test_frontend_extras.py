@@ -59,7 +59,10 @@ def test_erhua_merge():
     assert f.get_phonemes("这儿")[0] == ["zh", "e4", "&r"]
     # not_erhua words keep 儿 as its own syllable (reference
     # zh_frontend.py:45-58)
-    assert f.get_phonemes("女儿")[0] == ["n", "v3", "er5"]
+    # 儿 keeps its full tone: 女儿 is not in must_neural_tone_words and
+    # the neutral-suffix rule covers only 们/子 (reference
+    # tone_sandhi.py:94-97)
+    assert f.get_phonemes("女儿")[0] == ["n", "v3", "er2"]
 
 
 def test_width_conversion_roundtrip():
