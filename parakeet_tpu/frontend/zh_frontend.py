@@ -117,18 +117,40 @@ _BUILTIN_PINYIN: Dict[str, str] = {
 
 
 class _BuiltinG2P:
+    """Word-table-first offline G2P: polyphonic characters resolve by
+    word context (``WORD_PINYIN`` longest-match), then per-character
+    lookup over the merged char tables (`_pinyin_data.py`)."""
+
     def __init__(self, strict: bool = True):
         self.strict = strict
+        from ._pinyin_data import CHAR_PINYIN_EXTRA, WORD_PINYIN
+        self.words = WORD_PINYIN
+        self.chars = dict(_BUILTIN_PINYIN)
+        self.chars.update(CHAR_PINYIN_EXTRA)
+        self.max_word = max((len(k) for k in self.words), default=1)
 
     def __call__(self, word: str) -> List[str]:
-        out = []
-        for ch in word:
-            if ch in _BUILTIN_PINYIN:
-                out.append(_BUILTIN_PINYIN[ch])
+        out: List[str] = []
+        i = 0
+        while i < len(word):
+            matched = False
+            for ln in range(min(self.max_word, len(word) - i), 1, -1):
+                chunk = word[i:i + ln]
+                if chunk in self.words:
+                    out.extend(self.words[chunk].split())
+                    i += ln
+                    matched = True
+                    break
+            if matched:
+                continue
+            ch = word[i]
+            if ch in self.chars:
+                out.append(self.chars[ch])
             elif self.strict:
                 raise KeyError(
                     f"character {ch!r} not in the built-in pinyin table; "
                     "install pypinyin or pass pinyin_lexicon_path")
+            i += 1
         return out
 
 
@@ -260,6 +282,15 @@ class Frontend:
             if with_erhua and len(py) == len(word):
                 py = self._merge_erhua(py, word, pos)
             sylls.extend(py)
+        return sylls
+
+    def get_syllables(self, sentence: str,
+                      with_erhua: bool = True) -> List[str]:
+        """Raw text -> flat list of toned pinyin syllables (erhua folded,
+        sandhi applied).  The unit the G2P accuracy harness scores."""
+        sylls: List[str] = []
+        for s in self.text_normalizer.normalize(sentence):
+            sylls.extend(self._g2p_sentence(s, with_erhua=with_erhua))
         return sylls
 
     def get_phonemes(self, sentence: str,

@@ -13,7 +13,7 @@ RE_DATE = re.compile(
     r"(\d{4}|\d{2})年((0?[1-9]|1[0-2])月)?(((0?[1-9])|((1|2)[0-9])|30|31)"
     r"([日号]))?")
 RE_DATE2 = re.compile(
-    r"(\d{4})([-/.])(0?[1-9]|1[0-2])\2(((0?[1-9])|((1|2)[0-9])|30|31))")
+    r"(\d{4})([-/.])(0?[1-9]|1[0-2])\2(3[01]|[12][0-9]|0?[1-9])")
 RE_TIME = re.compile(
     r"([0-1]?[0-9]|2[0-3]):([0-5][0-9])(:([0-5][0-9]))?")
 RE_TIME_RANGE = re.compile(
@@ -53,10 +53,9 @@ def replace_date2(match) -> str:
 
 
 def _time_words(h: str, m: str, s: str | None) -> str:
+    # on-the-hour times read as bare 点 (reference chronology.py:36-53)
     out = verbalize_cardinal(h) + "点"
-    if int(m) == 0:
-        out += "整" if s in (None, "", "00") else ""
-    else:
+    if int(m) != 0:
         if int(m) < 10:
             out += "零"
         out += verbalize_cardinal(m) + "分"

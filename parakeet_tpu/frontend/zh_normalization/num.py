@@ -102,6 +102,9 @@ RE_PERCENTAGE = re.compile(r"(-?)(\d+(\.\d+)?)%")
 RE_RANGE = re.compile(r"(\d+(\.\d+)?)[~~—-](\d+(\.\d+)?)")
 RE_INTEGER = re.compile(r"(-)(\d+)")
 RE_NUMBER = re.compile(r"(-?)((\d+)(\.\d+)?)|(\.(\d+))")
+# decimals only (the point is mandatory) — must run before the
+# digit-by-digit RE_DEFAULT_NUM fallback (reference num.py:119)
+RE_DECIMAL_NUM = re.compile(r"(-?)((\d+)(\.\d+))|(\.(\d+))")
 RE_DEFAULT_NUM = re.compile(r"\d{3}\d*")
 # measure-word alternation carried verbatim from the reference
 # (num.py:31) — rule data

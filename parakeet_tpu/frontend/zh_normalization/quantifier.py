@@ -15,5 +15,7 @@ def replace_temperature(match) -> str:
     sign = match.group(1)
     value = match.group(2)
     unit = match.group(4)
-    unit_word = "摄氏度" if unit in ("°C", "℃", "摄氏度") else "度"
+    # only the written word 摄氏度 reads as such; °C/℃ read plain 度
+    # (reference quantifier.py:36)
+    unit_word = "摄氏度" if unit == "摄氏度" else "度"
     return ("零下" if sign else "") + num2str(value) + unit_word

@@ -15,7 +15,8 @@ from typing import List
 from .char_convert import tranditional_to_simplified
 from .chronology import (RE_DATE, RE_DATE2, RE_TIME, RE_TIME_RANGE,
                          replace_date, replace_date2, replace_time)
-from .num import (RE_DEFAULT_NUM, RE_FRAC, RE_INTEGER, RE_NUMBER,
+from .num import (RE_DECIMAL_NUM, RE_DEFAULT_NUM, RE_FRAC, RE_INTEGER,
+                  RE_NUMBER,
                   RE_PERCENTAGE, RE_POSITIVE_QUANTIFIERS, RE_RANGE,
                   replace_default_num, replace_frac, replace_negative_num,
                   replace_number, replace_percentage,
@@ -47,9 +48,15 @@ class TextNormalizer:
 
     def normalize_sentence(self, sentence: str) -> str:
         sentence = tranditional_to_simplified(sentence)
-        # full-width ASCII -> half-width
-        sentence = sentence.translate(str.maketrans(
-            {chr(0xFF01 + i): chr(0x21 + i) for i in range(0x5E)}))
+        # full-width letters/digits/space -> half-width; punctuation is
+        # deliberately left full-width (the reference converts only
+        # F2H_ASCII_LETTERS/F2H_DIGITS/F2H_SPACE, constants.py:21-41 —
+        # Chinese 。，？ must survive for sentence splitting/prosody)
+        f2h = {chr(0xFF21 + i): chr(0x41 + i) for i in range(26)}        # Ａ-Ｚ
+        f2h.update({chr(0xFF41 + i): chr(0x61 + i) for i in range(26)})  # ａ-ｚ
+        f2h.update({chr(0xFF10 + i): chr(0x30 + i) for i in range(10)})  # ０-９
+        f2h["　"] = " "
+        sentence = sentence.translate(str.maketrans(f2h))
         # order matters: most specific first
         sentence = RE_DATE.sub(replace_date, sentence)
         sentence = RE_DATE2.sub(replace_date2, sentence)
@@ -63,6 +70,10 @@ class TextNormalizer:
         sentence = RE_NATIONAL_UNIFORM_NUMBER.sub(replace_phone, sentence)
         sentence = RE_RANGE.sub(replace_range, sentence)
         sentence = RE_INTEGER.sub(replace_negative_num, sentence)
+        # decimals read as cardinals BEFORE the long-digit
+        # digit-by-digit fallback claims them (reference order,
+        # text_normlization.py:87)
+        sentence = RE_DECIMAL_NUM.sub(replace_number, sentence)
         # quantified numbers read as cardinals BEFORE the long-digit
         # digit-by-digit fallback claims them
         sentence = RE_POSITIVE_QUANTIFIERS.sub(

@@ -68,7 +68,10 @@ def test_zh_num2str():
 def test_zh_textnorm_rules():
     tn = TextNormalizer()
     assert "二零二一年三月十五日" in tn.normalize_sentence("2021年3月15日")
-    assert "零下三摄氏度" in tn.normalize_sentence("-3℃")
+    # ℃/°C read plain 度; only the written word 摄氏度 reads as such
+    # (reference quantifier.py:36)
+    assert "零下三度" in tn.normalize_sentence("-3℃")
+    assert "零下三摄氏度" in tn.normalize_sentence("-3摄氏度")
     assert "百分之三点五" in tn.normalize_sentence("3.5%")
     assert "三分之二" in tn.normalize_sentence("2/3")
     assert "两个" in tn.normalize_sentence("2个")
