@@ -243,12 +243,13 @@ class Flow(nn.Module):
 
     def __call__(self, x, condition):
         """Density direction: x -> (z, logs_used).  Row 0 passes through;
-        row i (i>0) is transformed with (logs, b) computed at row i-1."""
-        logs, b = self._net(x, condition)
+        row i (i>0) is transformed with (logs, b) computed from x rows
+        < i and the condition of row i itself — the reference pairs
+        x[:, :, :-1] with condition[:, :, 1:] (waveflow.py:195-197)."""
+        logs, b = self._net(x[:, :-1], condition[:, 1:])
         z = jnp.concatenate(
-            [x[:, :1], x[:, 1:] * jnp.exp(logs[:, :-1]) + b[:, :-1]],
-            axis=1)
-        return z, logs[:, :-1]
+            [x[:, :1], x[:, 1:] * jnp.exp(logs) + b], axis=1)
+        return z, logs
 
     def inverse(self, z, condition):
         """Sampling direction: z -> x, one row per scan step.
@@ -265,12 +266,13 @@ class Flow(nn.Module):
         bufs = tuple(jnp.zeros((b, w, block.buffer_rows * c), self.dtype)
                      for block in self.resnet)
         carry = (x0, bufs)
-        # step i consumes (z row i, condition row i-1); the per-layer
-        # conditioning projections happen inside the step (hoisting them
-        # out materializes an (L, h, W, 2C) tensor whose HBM traffic
-        # costs more than the in-loop (W,Cc)@(Cc,2C) dots)
+        # step i consumes (z row i, condition row i) — the condition of
+        # the row being generated (reference waveflow.py:195-197); the
+        # per-layer conditioning projections happen inside the step
+        # (hoisting them out materializes an (L, h, W, 2C) tensor whose
+        # HBM traffic costs more than the in-loop (W,Cc)@(Cc,2C) dots)
         xs = (z[:, 1:].transpose(1, 0, 2),
-              condition[:, :-1].transpose(1, 0, 2, 3))  # (h-1, B, W, Cc)
+              condition[:, 1:].transpose(1, 0, 2, 3))  # (h-1, B, W, Cc)
 
         scan = nn.scan(Flow._inverse_step, variable_broadcast="params",
                        split_rngs={"params": False},
@@ -363,9 +365,10 @@ class WaveFlow(nn.Module):
         for i, flow in enumerate(self.flows):
             z, logs = flow(z, cond)
             logs_sum = logs_sum + jnp.sum(logs, axis=(1, 2))
-            if i != self.n_flows - 1:     # no permutation after last flow
-                z = _permute_rows(z, i, self.n_flows)
-                cond = _permute_rows(cond, i, self.n_flows)
+            # the reference permutes after EVERY flow, the last included
+            # (waveflow.py:655-662)
+            z = _permute_rows(z, i, self.n_flows)
+            cond = _permute_rows(cond, i, self.n_flows)
         return unfold(z), logs_sum
 
     def inverse(self, z, condition):
@@ -378,9 +381,9 @@ class WaveFlow(nn.Module):
             cond = _permute_rows(cond, i, self.n_flows)
             conds.append(cond)
         for i in reversed(range(self.n_flows)):
-            if i != self.n_flows - 1:
-                # undo the permutation applied AFTER flow i in forward
-                x = _permute_rows(x, i, self.n_flows)
+            # undo the permutation applied AFTER flow i in forward
+            # (forward permutes after every flow, the last included)
+            x = _permute_rows(x, i, self.n_flows)
             x = self.flows[i].inverse(x, conds[i])
         return unfold(x)
 

@@ -1,0 +1,296 @@
+#!/usr/bin/env python
+"""Run every golden-parity comparison and emit the PARITY.md table.
+
+For each model family: build a paddle-layout state dict
+(``fixtures.py``), convert it with ``parakeet_tpu.utils.convert``, run
+our JAX model and the independent torch oracle on the same inputs, and
+report max-abs-diff / MSE over the valid regions.
+
+Usage: PYTHONPATH=. python tools/golden/run_parity.py [--write PARITY.md]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _metrics(ours, gold, valid_lens=None):
+    ours, gold = np.asarray(ours, np.float64), np.asarray(gold, np.float64)
+    if valid_lens is not None:
+        diffs = [ours[b, :valid_lens[b]] - gold[b, :valid_lens[b]]
+                 for b in range(len(valid_lens))]
+        flat = np.concatenate([d.reshape(-1) for d in diffs])
+    else:
+        flat = (ours - gold).reshape(-1)
+    return float(np.abs(flat).max()), float((flat ** 2).mean())
+
+
+def check_pwg():
+    from parakeet_tpu.models import PWGGenerator
+    from parakeet_tpu.utils.convert import convert_pwg_generator
+    from tools.golden.fixtures import pwg_state
+    from tools.golden.pwg import golden_pwg_forward
+
+    state, cfg = pwg_state()
+    params = convert_pwg_generator(state, layers=cfg["layers"],
+                                   upsample_scales=cfg["upsample_scales"])
+    gen = PWGGenerator(layers=cfg["layers"], stacks=cfg["stacks"],
+                       residual_channels=cfg["residual_channels"],
+                       gate_channels=cfg["gate_channels"],
+                       skip_channels=cfg["skip_channels"],
+                       aux_channels=cfg["aux_channels"],
+                       aux_context_window=cfg["aux_context_window"],
+                       upsample_scales=cfg["upsample_scales"])
+    rng = np.random.default_rng(0)
+    up = int(np.prod(cfg["upsample_scales"]))
+    w = cfg["aux_context_window"]
+    noise = rng.standard_normal((1, 5 * up, 1)).astype(np.float32)
+    mel = rng.standard_normal(
+        (1, 5 + 2 * w, cfg["aux_channels"])).astype(np.float32)
+    ours = gen.apply({"params": jax.tree_util.tree_map(jnp.asarray,
+                                                       params)},
+                     jnp.asarray(noise), jnp.asarray(mel))
+    gold = golden_pwg_forward(
+        state, noise.transpose(0, 2, 1), mel.transpose(0, 2, 1),
+        layers=cfg["layers"], stacks=cfg["stacks"],
+        upsample_scales=cfg["upsample_scales"],
+        aux_context_window=w).transpose(0, 2, 1)
+    return {"waveform": _metrics(ours, gold)}
+
+
+def check_fastspeech2():
+    from parakeet_tpu.models import FastSpeech2
+    from parakeet_tpu.utils.convert import convert_fastspeech2
+    from tools.golden.fastspeech2 import golden_fastspeech2_forward
+    from tools.golden.fixtures import fastspeech2_state
+
+    state, cfg = fastspeech2_state()
+    params, batch_stats = convert_fastspeech2(
+        state, elayers=cfg["elayers"], dlayers=cfg["dlayers"],
+        aheads=cfg["heads"], postnet_layers=cfg["postnet_layers"],
+        predictor_layers=2, pitch_predictor_layers=2,
+        energy_predictor_layers=2)
+    model = FastSpeech2(
+        idim=cfg["vocab"], odim=cfg["odim"], adim=cfg["adim"],
+        aheads=cfg["heads"], elayers=1, eunits=cfg["eunits"], dlayers=1,
+        dunits=cfg["eunits"], postnet_layers=2, postnet_chans=8,
+        postnet_filts=5, duration_predictor_chans=cfg["adim"],
+        pitch_predictor_layers=2, pitch_predictor_chans=cfg["adim"],
+        energy_predictor_chans=cfg["adim"])
+    rng = np.random.default_rng(0)
+    B, Tmax = 2, 8
+    text = rng.integers(1, cfg["vocab"], (B, Tmax))
+    ilens = np.array([8, 5])
+    text[1, 5:] = 0
+    dur = rng.integers(1, 5, (B, Tmax))
+    dur = dur * (np.arange(Tmax)[None] < ilens[:, None])
+    olens = dur.sum(1)
+    pitch = rng.standard_normal((B, Tmax, 1)).astype(np.float32)
+    energy = rng.standard_normal((B, Tmax, 1)).astype(np.float32)
+    speech = np.zeros((B, int(olens.max()), cfg["odim"]), np.float32)
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats)}
+    out = model.apply(variables, jnp.asarray(text), jnp.asarray(ilens),
+                      jnp.asarray(speech), jnp.asarray(olens),
+                      jnp.asarray(dur), jnp.asarray(pitch),
+                      jnp.asarray(energy), deterministic=True)
+    gold = golden_fastspeech2_forward(state, text, ilens, dur, pitch,
+                                      energy, odim=cfg["odim"],
+                                      heads=cfg["heads"])
+    res = {}
+    for k in ("before_outs", "after_outs"):
+        res[k] = _metrics(out[k], gold[k], gold["olens"])
+    for k in ("d_outs", "p_outs", "e_outs"):
+        res[k] = _metrics(out[k], gold[k], ilens)
+    return res
+
+
+def check_tacotron2():
+    from parakeet_tpu.models.tacotron2 import Tacotron2
+    from parakeet_tpu.utils.convert import convert_tacotron2
+    from tools.golden.fixtures import tacotron2_state
+    from tools.golden.tacotron2 import golden_tacotron2_forward
+
+    state, cfg = tacotron2_state()
+    params, batch_stats = convert_tacotron2(
+        state, encoder_conv_layers=cfg["encoder_conv_layers"],
+        postnet_conv_layers=cfg["postnet_conv_layers"],
+        use_stop_token=True)
+    model = Tacotron2(
+        vocab_size=cfg["vocab"], d_mels=cfg["d_mels"],
+        d_encoder=cfg["d_enc"], encoder_conv_layers=2,
+        encoder_kernel_size=3, d_prenet=cfg["d_prenet"],
+        d_attention_rnn=cfg["d_att_rnn"], d_decoder_rnn=cfg["d_dec_rnn"],
+        attention_filters=cfg["filters"],
+        attention_kernel_size=cfg["k_att"], d_attention=cfg["d_att"],
+        d_postnet=8, postnet_kernel_size=3, postnet_conv_layers=2,
+        reduction_factor=1, use_stop_token=True, p_prenet_dropout=0.0,
+        p_encoder_dropout=0.0, p_attention_dropout=0.0,
+        p_decoder_dropout=0.0, p_postnet_dropout=0.0)
+    rng = np.random.default_rng(0)
+    B, T_text, T_mel = 2, 5, 8
+    text = rng.integers(1, cfg["vocab"], (B, T_text))
+    mels = rng.standard_normal((B, T_mel, cfg["d_mels"])).astype(
+        np.float32)
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats)}
+    out = model.apply(variables, jnp.asarray(text),
+                      jnp.full((B,), T_text), jnp.asarray(mels),
+                      jnp.full((B,), T_mel), deterministic=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    gold = golden_tacotron2_forward(state, text, mels)
+    res = {}
+    for k in ("mel_output", "mel_outputs_postnet", "alignments"):
+        res[k] = _metrics(out[k], gold[k])
+    res["stop_logits"] = _metrics(
+        np.asarray(out["stop_logits"]).reshape(B, -1),
+        gold["stop_logits"].reshape(B, -1))
+    return res
+
+
+def check_speedyspeech():
+    from parakeet_tpu.models.speedyspeech import SpeedySpeech
+    from parakeet_tpu.utils.convert import convert_speedyspeech
+    from tools.golden.fixtures import speedyspeech_state
+    from tools.golden.speedyspeech import golden_speedyspeech_forward
+
+    state, cfg = speedyspeech_state()
+    params, batch_stats = convert_speedyspeech(
+        state, encoder_dilations=cfg["enc_dil"],
+        decoder_dilations=cfg["dec_dil"])
+    model = SpeedySpeech(
+        vocab_size=cfg["vocab"], encoder_hidden_size=cfg["hidden"],
+        encoder_dilations=cfg["enc_dil"],
+        duration_predictor_hidden_size=cfg["hidden"],
+        decoder_hidden_size=cfg["hidden"],
+        decoder_output_size=cfg["odim"],
+        decoder_dilations=cfg["dec_dil"], tone_size=cfg["tones"])
+    rng = np.random.default_rng(0)
+    B, T = 2, 7
+    text = rng.integers(1, cfg["vocab"], (B, T))
+    tone_ids = rng.integers(1, cfg["tones"], (B, T))
+    durs = rng.integers(1, 3, (B, T))
+    tot = int(durs.sum(1).max())
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats)}
+    out = model.apply(variables, jnp.asarray(text), jnp.asarray(durs),
+                      jnp.asarray(tone_ids), max_frames=tot,
+                      deterministic=True)
+    g_mel, g_logd = golden_speedyspeech_forward(
+        state, text, tone_ids, durs, encoder_dilations=cfg["enc_dil"],
+        decoder_dilations=cfg["dec_dil"])
+    return {"mel": _metrics(out["mel"], g_mel, durs.sum(1)),
+            "log_durations": _metrics(out["log_durations"], g_logd)}
+
+
+def check_waveflow():
+    from parakeet_tpu.models.waveflow import ConditionalWaveFlow
+    from parakeet_tpu.utils.convert import convert_waveflow
+    from tools.golden.fixtures import waveflow_state
+    from tools.golden.waveflow import golden_waveflow_forward
+
+    state, cfg = waveflow_state()
+    params = convert_waveflow(state, n_flows=cfg["n_flows"],
+                              n_layers=cfg["n_layers"],
+                              upsample_factors=cfg["factors"])
+    model = ConditionalWaveFlow(
+        upsample_factors=cfg["factors"], n_flows=cfg["n_flows"],
+        n_layers=cfg["n_layers"], n_group=cfg["n_group"],
+        channels=cfg["channels"], n_mels=cfg["n_mels"])
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((1, 64)).astype(np.float32)
+    mel = rng.standard_normal((1, 16, cfg["n_mels"])).astype(np.float32)
+    z, logdet = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(audio), jnp.asarray(mel))
+    gz, glogdet = golden_waveflow_forward(
+        state, audio, mel.transpose(0, 2, 1), n_flows=cfg["n_flows"],
+        n_layers=cfg["n_layers"], n_group=cfg["n_group"],
+        upsample_factors=cfg["factors"])
+    return {"z": _metrics(z, gz),
+            "log_det": _metrics(np.asarray(logdet).sum(), glogdet)}
+
+
+def check_transformer_tts():
+    from parakeet_tpu.models.transformer_tts import TransformerTTS
+    from parakeet_tpu.utils.convert import convert_transformer_tts
+    from tools.golden.fixtures import transformer_tts_state
+    from tools.golden.transformer_tts import golden_transformer_tts_forward
+
+    state, cfg = transformer_tts_state()
+    params, batch_stats = convert_transformer_tts(
+        state, elayers=1, dlayers=1, aheads=cfg["heads"],
+        dprenet_layers=2, postnet_layers=2)
+    model = TransformerTTS(
+        idim=cfg["idim"], odim=cfg["odim"], adim=cfg["adim"],
+        aheads=cfg["heads"], elayers=1, eunits=cfg["units"], dlayers=1,
+        dunits=cfg["units"], eprenet_conv_layers=0,
+        dprenet_units=cfg["dp_units"], postnet_layers=2, postnet_chans=8,
+        postnet_filts=3, reduction_factor=1, dprenet_dropout_rate=0.0)
+    rng = np.random.default_rng(0)
+    B = 2
+    text = rng.integers(1, cfg["idim"] - 1, (B, 6))
+    text[1, 4:] = 0
+    tl = np.array([6, 4])
+    mels = rng.standard_normal((B, 8, cfg["odim"])).astype(np.float32)
+    ol = np.array([8, 6])
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats)}
+    out = model.apply(variables, jnp.asarray(text), jnp.asarray(tl),
+                      jnp.asarray(mels), jnp.asarray(ol),
+                      deterministic=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    gold = golden_transformer_tts_forward(
+        state, text, tl, mels, ol, odim=cfg["odim"],
+        eos=cfg["idim"] - 1, heads=cfg["heads"])
+    return {k: _metrics(out[k], gold[k], ol)
+            for k in ("before_outs", "after_outs", "stop_logits")}
+
+
+CHECKS = {
+    "fastspeech2": check_fastspeech2,
+    "parallel_wavegan": check_pwg,
+    "tacotron2": check_tacotron2,
+    "transformer_tts": check_transformer_tts,
+    "speedyspeech": check_speedyspeech,
+    "waveflow": check_waveflow,
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--write", type=Path, default=None,
+                        help="markdown file to append the table to")
+    args = parser.parse_args()
+    jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for family, fn in CHECKS.items():
+        for output, (maxdiff, mse) in fn().items():
+            rows.append((family, output, maxdiff, mse))
+            print(f"{family:18s} {output:22s} max|d| {maxdiff:9.3e} "
+                  f"mse {mse:9.3e}")
+    if args.write:
+        lines = ["| family | output | max abs diff | MSE |",
+                 "|---|---|---|---|"]
+        for family, output, maxdiff, mse in rows:
+            lines.append(f"| {family} | {output} | {maxdiff:.3e} "
+                         f"| {mse:.3e} |")
+        args.write.write_text("\n".join(lines) + "\n")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
