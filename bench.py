@@ -60,6 +60,9 @@ def main():
 
     noise0 = jax.random.normal(jax.random.PRNGKey(2), noise.shape)
     args = (fs2_vars, pwg_vars["params"], text, text_lengths, noise0)
+    # XLA's own FLOP count for one synthesize() call (MFU denominator)
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(synthesize.lower(*args).compile())
     # warmup / compile; the host fetch also forces real execution (on the
     # axon remote backend block_until_ready alone does not synchronize
     # until the process has fetched at least once)
@@ -92,6 +95,7 @@ def main():
         "value": round(rtf, 6),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
+        **mfu_stats(flops, elapsed, "float32"),
     }))
 
 

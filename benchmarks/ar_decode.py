@@ -42,6 +42,8 @@ def bench_tacotron2(steps, iters, dtype):
                           method=Tacotron2.infer)
         return out["mel_outputs_postnet"], out["lengths"]
 
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(infer.lower(v, text, tl).compile())
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
     t = text
@@ -54,7 +56,8 @@ def bench_tacotron2(steps, iters, dtype):
     for i in range(iters):
         mel, lengths = infer(v, (t + i) % 79 + 1, tl)
     np.asarray(mel)
-    return (time.perf_counter() - tic) / iters / steps * 1000
+    elapsed = (time.perf_counter() - tic) / iters
+    return elapsed / steps * 1000, mfu_stats(flops, elapsed, dtype)
 
 
 def bench_transformer_tts(steps, iters, dtype):
@@ -80,6 +83,8 @@ def bench_transformer_tts(steps, iters, dtype):
                           method=TransformerTTS.inference)
         return out["mel"], out["lengths"]
 
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(infer.lower(v, text, tl).compile())
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
     t = text
@@ -92,7 +97,8 @@ def bench_transformer_tts(steps, iters, dtype):
     for i in range(iters):
         mel, lengths = infer(v, (t + i) % 79 + 1, tl)
     np.asarray(mel)
-    return (time.perf_counter() - tic) / iters / steps * 1000
+    elapsed = (time.perf_counter() - tic) / iters
+    return elapsed / steps * 1000, mfu_stats(flops, elapsed, dtype)
 
 
 def main():
@@ -109,10 +115,10 @@ def main():
     for name in args.models:
         fn = {"tacotron2": bench_tacotron2,
               "transformer_tts": bench_transformer_tts}[name]
-        ms = fn(args.steps, args.iters, args.dtype)
+        ms, mfu = fn(args.steps, args.iters, args.dtype)
         print(json.dumps({"metric": f"{name}_decode_ms_per_step",
                           "value": round(ms, 4), "unit": "ms/step",
-                          "dtype": args.dtype}))
+                          "dtype": args.dtype, **mfu}))
 
 
 if __name__ == "__main__":

@@ -60,6 +60,9 @@ def main():
         return wav[..., 0], next_noise
 
     noise0 = jax.random.normal(jax.random.PRNGKey(2), noise.shape)
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(synthesize.lower(
+        fs2_vars, pwg_vars["params"], text, text_lengths, noise0).compile())
     wav, nz = synthesize(fs2_vars, pwg_vars["params"], text, text_lengths,
                          noise0)
     assert bool(np.isfinite(np.asarray(wav)).all())
@@ -78,6 +81,7 @@ def main():
         "value": round(audio_seconds / elapsed, 2),
         "unit": "audio_seconds/sec",
         "per_stream_rtf": round(elapsed / (wav.shape[-1] / sr), 6),
+        **mfu_stats(flops, elapsed, "float32"),
     }))
 
 

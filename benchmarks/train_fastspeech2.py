@@ -55,6 +55,8 @@ def main():
     state = init_fs2_train_state(model, tx, jax.random.PRNGKey(0), batch)
     step = make_fs2_train_step(model, tx)
 
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(step.lower(state, batch).compile())
     state, metrics = step(state, batch)
     np.asarray(metrics["loss"])
 
@@ -66,7 +68,8 @@ def main():
     print(json.dumps({"metric": "fastspeech2_train_avg_ips",
                       "batch_size": b,
                       "value": round(b / avg_batch_cost, 3),
-                      "unit": "sequences/sec"}))
+                      "unit": "sequences/sec",
+                      **mfu_stats(flops, avg_batch_cost, args.dtype)}))
 
 
 if __name__ == "__main__":

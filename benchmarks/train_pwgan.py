@@ -56,6 +56,8 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
     step = make_pwg_train_step(gen, disc, gen_tx, disc_tx, lambda_adv=4.0,
                                discriminator_train_start_steps=0)
 
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(step.lower(state, batch).compile())
     state, metrics = step(state, batch)            # compile
     np.asarray(metrics["generator_loss"])          # force real execution
 
@@ -64,7 +66,8 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
         state, metrics = step(state, batch)
     np.asarray(metrics["generator_loss"])
     avg_batch_cost = (time.perf_counter() - tic) / iters
-    return batch_size / avg_batch_cost
+    return batch_size / avg_batch_cost, mfu_stats(flops, avg_batch_cost,
+                                                  dtype)
 
 
 def main():
@@ -78,12 +81,12 @@ def main():
     args = parser.parse_args()
 
     for bs in args.batch_sizes:
-        ips = bench_batch_size(bs, args.iters, args.dtype)
+        ips, mfu = bench_batch_size(bs, args.iters, args.dtype)
         print(json.dumps({"metric": "pwgan_train_avg_ips",
                           "batch_size": bs,
                           "value": round(ips, 3),
                           "unit": "sequences/sec",
-                          "dtype": args.dtype}))
+                          "dtype": args.dtype, **mfu}))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,8 @@ def main():
         return wav, jax.random.fold_in(key, jnp.int32(wav[0, 0] == 0))
 
     key = jax.random.PRNGKey(1)
+    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    flops = compiled_flops(infer.lower(params, mel, key).compile())
     wav, key = infer(params, mel, key)
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 
@@ -63,7 +65,8 @@ def main():
     rtf = elapsed / audio_seconds
     print(json.dumps({"metric": "waveflow_synthesis_rtf",
                       "value": round(rtf, 6), "unit": "rtf",
-                      "vs_baseline": round(0.025 / rtf, 3)}))
+                      "vs_baseline": round(0.025 / rtf, 3),
+                      **mfu_stats(flops, elapsed, "float32")}))
 
 
 if __name__ == "__main__":

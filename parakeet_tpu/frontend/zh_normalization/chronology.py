@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import re
 
-from .num import DIGITS, num2str, verbalize_cardinal, verbalize_digit
+from .num import verbalize_cardinal, verbalize_digit
 
 __all__ = ["RE_DATE", "RE_DATE2", "RE_TIME", "RE_TIME_RANGE",
            "replace_date", "replace_date2", "replace_time"]

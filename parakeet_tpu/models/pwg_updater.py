@@ -13,8 +13,6 @@ donated, schedulers are optax schedules inside the optimizer chains.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

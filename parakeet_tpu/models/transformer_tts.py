@@ -22,7 +22,7 @@ TPU-first design (not a port):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ receptive-field buffer is a value the caller carries through
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

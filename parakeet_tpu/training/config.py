@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import copy
 import io
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import yaml
 

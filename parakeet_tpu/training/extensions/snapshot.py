@@ -12,7 +12,7 @@ import logging
 from pathlib import Path
 
 from ..checkpoint import SnapshotRing
-from ..extension import Extension, PRIORITY_READER
+from ..extension import Extension
 
 logger = logging.getLogger(__name__)
 

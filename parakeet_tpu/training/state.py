@@ -7,7 +7,7 @@ next state.  Buffers are donated, so the update is in-place on device.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax

@@ -15,11 +15,11 @@ import sys
 import time
 import traceback
 from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Dict, List, Optional
 
-from .extension import PRIORITY_READER, Extension
+from .extension import PRIORITY_READER
 from .reporter import scope
 from .triggers import get_trigger
 from ..utils.profiler import add_profiler_step

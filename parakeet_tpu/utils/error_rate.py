@@ -6,7 +6,7 @@ frontends (G2P / textnorm accuracy, SURVEY.md §4.6).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -1,0 +1,66 @@
+"""FLOPs / MFU accounting for benchmarks.
+
+FLOP counts come from XLA's own cost model on the compiled executable
+(``jax.stages.Compiled.cost_analysis()['flops']``) — no hand-derived
+formulas to drift out of sync with the model code.  Peak figures are
+the published TPU v5e numbers; fp32 peak is approximated as half the
+bf16 figure (fp32 matmul runs as multi-pass bf16 on the MXU).
+
+The reference's own throughput protocol (avg_ips,
+tests/benchmark/PWGAN/run_benchmark.sh:24-36) has no FLOPs denominator;
+MFU is what lets "is it actually fast" be answered per benchmark.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+__all__ = ["compiled_flops", "chip_peak_flops", "mfu_stats"]
+
+# published bf16 peak per chip
+_PEAK_BF16 = {
+    "v5 lite": 197e12,        # TPU v5e
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,        # TPU v6e (Trillium)
+}
+_DEFAULT_PEAK = 197e12
+
+
+def compiled_flops(compiled) -> Optional[float]:
+    """Total FLOPs of one call of a ``jax.jit(...).lower(...).compile()``
+    executable, or None if the backend exposes no cost model."""
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops = ca.get("flops")
+    return float(flops) if flops else None
+
+
+def chip_peak_flops(dtype: str = "bfloat16") -> float:
+    """Peak FLOP/s of the current chip for ``dtype`` matmuls."""
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    peak = next((v for k, v in _PEAK_BF16.items() if k in kind),
+                _DEFAULT_PEAK)
+    if dtype in ("float32", "fp32"):
+        peak = peak / 2.0
+    return peak
+
+
+def mfu_stats(flops_per_call: Optional[float], seconds_per_call: float,
+              dtype: str = "float32") -> dict:
+    """-> {"achieved_tflops": ..., "mfu_pct": ...} (zeros if unknown)."""
+    if not flops_per_call or seconds_per_call <= 0:
+        return {"achieved_tflops": 0.0, "mfu_pct": 0.0}
+    achieved = flops_per_call / seconds_per_call
+    return {
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_pct": round(100.0 * achieved / chip_peak_flops(dtype), 2),
+    }

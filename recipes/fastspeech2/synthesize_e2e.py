@@ -56,7 +56,9 @@ def main():
                              "jax.export StableHLO (deploy via "
                              "inference.py; requires --pwg-checkpoint)")
     parser.add_argument("--streaming-chunk-frames", type=int, default=0,
-                        help="vocode in fixed-size chunks (bit-exact, O(chunk) memory, one compile for any length); 0 = one-shot")
+                        help="vocode in fixed-size chunks (bit-exact, "
+                             "O(chunk) memory, one compile for any "
+                             "length); 0 = one-shot")
     add_device_arg(parser)
     args = parser.parse_args()
     if (args.pwg_checkpoint is None) != (args.pwg_config is None):

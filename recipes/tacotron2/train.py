@@ -6,7 +6,6 @@ preprocess/normalize stages (durations are simply unused) or a character
 frontend for LJSpeech.
 """
 import argparse
-import functools
 from pathlib import Path
 
 import jax

@@ -5,7 +5,7 @@ import jax
 import numpy as np
 
 from parakeet_tpu import training as T
-from parakeet_tpu.models import (FastSpeech2, init_fs2_train_state,
+from parakeet_tpu.models import (init_fs2_train_state,
                                  make_fs2_train_step)
 from parakeet_tpu.parallel.mesh import make_mesh
 from parakeet_tpu.training.updater import StandardUpdater

@@ -4,7 +4,6 @@ Mirrors the reference's frontend accuracy harness idea (SURVEY.md §4.6)
 with deterministic rule assertions instead of labeled corpora.
 """
 # -*- coding: utf-8 -*-
-import pytest
 
 from parakeet_tpu.frontend import (English, EnglishCharacter, Frontend,
                                    TextNormalizer, Vocab, generate_lexicon,

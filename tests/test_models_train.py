@@ -231,9 +231,10 @@ def _bf16_family_impls():
         step = make_fs2_train_step(m, tx)
         st, met = step(st, b)
         assert np.isfinite(float(met["loss"]))
-    
+
     def sps():
-        from parakeet_tpu.models import SpeedySpeech, init_speedyspeech_train_state, make_speedyspeech_train_step
+        from parakeet_tpu.models import (SpeedySpeech, init_speedyspeech_train_state,
+                                         make_speedyspeech_train_step)
         from parakeet_tpu.training.optimizer import build_optimizer
         m = SpeedySpeech(vocab_size=11, encoder_hidden_size=8, encoder_kernel_size=3,
                          encoder_dilations=(1,), decoder_hidden_size=8,
@@ -250,9 +251,10 @@ def _bf16_family_impls():
         step = make_speedyspeech_train_step(m, tx)
         st, met = step(st, b)
         assert np.isfinite(float(met["loss"]))
-    
+
     def t2():
-        from parakeet_tpu.models import Tacotron2, init_tacotron2_train_state, make_tacotron2_train_step
+        from parakeet_tpu.models import (Tacotron2, init_tacotron2_train_state,
+                                         make_tacotron2_train_step)
         from parakeet_tpu.training.optimizer import build_optimizer
         m = Tacotron2(vocab_size=11, d_mels=6, d_encoder=8, encoder_conv_layers=1,
                       encoder_kernel_size=3, d_prenet=4, d_attention_rnn=8,
@@ -268,9 +270,11 @@ def _bf16_family_impls():
         step = make_tacotron2_train_step(m, tx)
         st, met = step(st, b)
         assert np.isfinite(float(met["loss"]))
-    
+
     def ttts():
-        from parakeet_tpu.models import TransformerTTS, init_transformer_tts_train_state, make_transformer_tts_train_step
+        from parakeet_tpu.models import (TransformerTTS,
+                                         init_transformer_tts_train_state,
+                                         make_transformer_tts_train_step)
         from parakeet_tpu.training.optimizer import build_optimizer
         m = TransformerTTS(idim=11, odim=6, adim=16, aheads=2, elayers=1,
                            eunits=24, dlayers=1, dunits=24, eprenet_conv_layers=0,
@@ -285,9 +289,11 @@ def _bf16_family_impls():
         step = make_transformer_tts_train_step(m, tx)
         st, met = step(st, b)
         assert np.isfinite(float(met["loss"]))
-    
+
     def wf():
-        from parakeet_tpu.models import ConditionalWaveFlow, init_waveflow_train_state, make_waveflow_train_step
+        from parakeet_tpu.models import (ConditionalWaveFlow,
+                                         init_waveflow_train_state,
+                                         make_waveflow_train_step)
         from parakeet_tpu.training.optimizer import build_optimizer
         m = ConditionalWaveFlow(upsample_factors=(4, 5), n_flows=2, n_layers=2,
                                 n_group=4, channels=8, n_mels=6,
@@ -299,7 +305,7 @@ def _bf16_family_impls():
         step = make_waveflow_train_step(m, tx)
         st, met = step(st, b)
         assert np.isfinite(float(met["loss"]))
-    
+
     def ge2e():
         from parakeet_tpu.models import LSTMSpeakerEncoder
         from parakeet_tpu.models.ge2e_updater import init_ge2e_train_state, make_ge2e_train_step

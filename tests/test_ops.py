@@ -2,7 +2,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from parakeet_tpu import ops
 from parakeet_tpu.audio import spectrum as host_sp

@@ -1,6 +1,5 @@
 """DSP parity tests: host numpy STFT/mel vs scipy and device JAX STFT."""
 import numpy as np
-import pytest
 from scipy import signal as sps
 
 from parakeet_tpu.audio import spectrum as sp
