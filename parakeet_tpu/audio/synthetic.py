@@ -13,7 +13,7 @@ ground-truth per-frame F0 and voicing of these utterances are known
 audio/features.py, standing in for pyworld dio+stonemask,
 reference parakeet/data/get_feats.py:91-143).
 """
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy import signal

@@ -1,4 +1,4 @@
 """Pallas TPU kernels for the hot ops."""
-from .stft_kernel import stft_magnitude_pallas
+from .pwg_stack import fused_residual_stack, fused_stack_supported
 
-__all__ = ["stft_magnitude_pallas"]
+__all__ = ["fused_residual_stack", "fused_stack_supported"]
