@@ -15,7 +15,7 @@ pitch/energy (FastPitch style).  TPU-first differences:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -98,6 +98,10 @@ class FastSpeech2(nn.Module):
     transformer_dec_attn_dropout_rate: float = 0.1
     postnet_dropout_rate: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    # optional replacement attention core for the decoder stack — e.g.
+    # sequence-parallel ring attention for long-form synthesis
+    # (parallel/ring_attention.py); (q, k, v, mask) -> (B, T, H, dk)
+    decoder_attn_core: Optional[Callable] = None
 
     def setup(self):
         self.encoder = TransformerEncoder(
@@ -130,7 +134,7 @@ class FastSpeech2(nn.Module):
             positionwise_layer_type=self.positionwise_layer_type,
             positionwise_conv_kernel_size=(
                 self.positionwise_conv_kernel_size),
-            dtype=self.dtype)
+            dtype=self.dtype, attn_core=self.decoder_attn_core)
         self.duration_predictor = DurationPredictor(
             n_layers=self.duration_predictor_layers,
             n_chans=self.duration_predictor_chans,

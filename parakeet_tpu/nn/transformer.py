@@ -72,11 +72,19 @@ class MultiHeadAttention(nn.Module):
 
     ``mask``: bool, True = attendable; broadcastable to (B, 1, Tq, Tk).
     Returns (output, attn_weights (B, H, Tq, Tk)).
+
+    ``attn_core``: optional replacement for the dense softmax core —
+    a callable ``(q, k, v, mask) -> (B, T, H, dk)`` over the projected
+    heads.  Used to swap in sequence-parallel ring attention
+    (parallel/ring_attention.py) for long-form synthesis; attention
+    weights are then returned as None.  Parameter shapes/names are
+    unchanged, so any checkpoint loads in either mode.
     """
     n_heads: int
     d_model: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attn_core: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, *,
@@ -87,6 +95,14 @@ class MultiHeadAttention(nn.Module):
         q = dense("q")(query)                       # (B, Tq, H, dk)
         k = dense("k")(key)
         v = dense("v")(value)
+        if self.attn_core is not None:
+            if cache is not None:
+                raise ValueError("attn_core does not support KV caches")
+            out = self.attn_core(q, k, v, mask)
+            out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                  dtype=self.dtype, name="out")(
+                out.astype(self.dtype))
+            return out, None, None
         new_cache = None
         if cache is not None:
             if "index" in cache:
@@ -190,6 +206,7 @@ class EncoderLayer(nn.Module):
     positionwise_layer_type: str = "linear"
     positionwise_conv_kernel_size: int = 1
     dtype: jnp.dtype = jnp.float32
+    attn_core: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -198,7 +215,8 @@ class EncoderLayer(nn.Module):
             x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         attn_out, attn_w, _ = MultiHeadAttention(
             self.n_heads, self.d_model, self.attn_dropout_rate,
-            dtype=self.dtype, name="self_attn")(
+            dtype=self.dtype, attn_core=self.attn_core,
+            name="self_attn")(
                 x, x, x, mask, deterministic=deterministic)
         if self.concat_after:
             x = residual + nn.Dense(self.d_model, dtype=self.dtype,
@@ -249,6 +267,7 @@ class TransformerEncoder(nn.Module):
     positionwise_conv_kernel_size: int = 1
     padding_idx: int = 0
     dtype: jnp.dtype = jnp.float32
+    attn_core: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, xs, mask=None, *, deterministic: bool = True):
@@ -278,12 +297,15 @@ class TransformerEncoder(nn.Module):
                 self.normalize_before, self.concat_after,
                 self.positionwise_layer_type,
                 self.positionwise_conv_kernel_size,
-                dtype=self.dtype, name=f"layer_{i}")(
+                dtype=self.dtype, attn_core=self.attn_core,
+                name=f"layer_{i}")(
                     x, mask, deterministic=deterministic)
             attns.append(attn)
         if self.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
-        return x, jnp.stack(attns)
+        # attn weights are unavailable when a custom attn_core is in use
+        attn_stack = None if attns[0] is None else jnp.stack(attns)
+        return x, attn_stack
 
 
 class DecoderLayer(nn.Module):

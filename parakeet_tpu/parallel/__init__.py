@@ -1,11 +1,12 @@
 """Mesh/sharding helpers for SPMD data/tensor/sequence parallelism."""
 from .mesh import (data_parallel_sharding, fs2_tp_spec, local_batch_slice,
                    make_mesh, process_index, rank_zero_only, replicate,
-                   shard_batch, shard_params_by_rule)
-from .ring_attention import (ring_attention,
+                   shard_batch, shard_params_by_rule, transformer_tp_spec)
+from .ring_attention import (make_ring_attn_core, ring_attention,
                              sequence_parallel_self_attention)
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
            "rank_zero_only", "process_index", "local_batch_slice",
-           "fs2_tp_spec", "shard_params_by_rule", "ring_attention",
-           "sequence_parallel_self_attention"]
+           "fs2_tp_spec", "transformer_tp_spec", "shard_params_by_rule",
+           "ring_attention", "sequence_parallel_self_attention",
+           "make_ring_attn_core"]

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
            "rank_zero_only", "process_index", "local_batch_slice",
-           "fs2_tp_spec", "shard_params_by_rule"]
+           "fs2_tp_spec", "transformer_tp_spec", "shard_params_by_rule"]
 
 
 def make_mesh(data: int = -1, model: int = 1,
@@ -86,17 +86,20 @@ def local_batch_slice(global_batch_size: int) -> slice:
 
 # ---- tensor parallelism -----------------------------------------------
 
-def fs2_tp_spec(path: str, leaf) -> P:
-    """PartitionSpec for a FastSpeech2 (ESPnet-transformer) param by its
+def transformer_tp_spec(path: str, leaf) -> P:
+    """PartitionSpec for any ESPnet-style transformer param by its
     '/'-joined path: attention heads and FFN hidden dims shard over the
     'model' axis, everything else is replicated.
 
     Megatron-style column/row split per transformer block: q/k/v project
     onto sharded heads (column), the out-projection contracts them back
-    (row, XLA inserts the all-reduce); FFN Conv_0 expands onto the
-    sharded hidden dim, Conv_1 contracts it.
+    (row, XLA inserts the all-reduce); the positionwise hidden dim
+    expands (column) then contracts (row) — both the conv flavor
+    (MultiLayerConv, FastSpeech2/SpeedySpeech-style) and the linear
+    flavor ('ff' PositionwiseFeedForward, TransformerTTS encoder +
+    decoder self/src attention blocks).
     """
-    if "self_attn" in path:
+    if "self_attn" in path or "src_attn" in path:
         if path.endswith(("q/kernel", "k/kernel", "v/kernel")):
             return P(None, "model", None)     # (in, heads, dk)
         if path.endswith(("q/bias", "k/bias", "v/bias")):
@@ -110,7 +113,18 @@ def fs2_tp_spec(path: str, leaf) -> P:
             return P("model")
         if path.endswith("Conv_1/kernel"):
             return P(None, "model", None)     # (k, hidden, in)
+    if "/ff/" in path:
+        if path.endswith("Dense_0/kernel"):
+            return P(None, "model")           # (in, hidden)
+        if path.endswith("Dense_0/bias"):
+            return P("model")
+        if path.endswith("Dense_1/kernel"):
+            return P("model", None)           # (hidden, in)
     return P()
+
+
+# FastSpeech2's params are a subset of the generic transformer layout
+fs2_tp_spec = transformer_tp_spec
 
 
 def shard_params_by_rule(params, mesh: Mesh, rule) -> dict:

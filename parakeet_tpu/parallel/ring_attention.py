@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["ring_attention", "sequence_parallel_self_attention"]
+__all__ = ["ring_attention", "sequence_parallel_self_attention",
+           "make_ring_attn_core"]
 
 _NEG_INF = -1e30
 
@@ -123,3 +124,36 @@ def sequence_parallel_self_attention(
         in_specs=(qkv_spec, qkv_spec, qkv_spec, spec),
         out_specs=qkv_spec)
     return shard_fn(q, k, v, kv_mask)
+
+
+def make_ring_attn_core(mesh: Mesh, axis: str = "model"):
+    """Build an ``attn_core`` for ``nn.MultiHeadAttention`` that runs
+    the softmax core as sequence-parallel ring attention.
+
+    Plugs into any attention site that accepts ``attn_core`` (e.g.
+    ``FastSpeech2(decoder_attn_core=...)`` shards the decoder's frame
+    axis for long-form synthesis).  The projected heads (B, T, H, dk)
+    are sharded over ``mesh[axis]`` on T; the surrounding
+    (LayerNorm/FFN/residual) ops stay under GSPMD auto-sharding, which
+    keeps them local to the same shards.  T must be divisible by the
+    axis size.
+
+    The MHA-style ``mask`` (bool, (B, T) / (B, 1, Tk) / broadcastable
+    (B, 1, Tq, Tk) padding mask) is reduced to the key-validity vector
+    ring attention consumes; per-query masking (causal) is NOT
+    supported here — this core is for padding-masked encoder/decoder
+    stacks.
+    """
+    def core(q, k, v, mask):
+        kv_mask = None
+        if mask is not None:
+            if mask.ndim == 4:          # (B, 1|H, Tq|1, Tk)
+                kv_mask = mask[:, 0, 0, :]
+            elif mask.ndim == 3:        # (B, 1, Tk)
+                kv_mask = mask[:, 0, :]
+            else:                       # (B, Tk)
+                kv_mask = mask
+            kv_mask = jnp.broadcast_to(kv_mask, (q.shape[0], k.shape[1]))
+        return sequence_parallel_self_attention(mesh, axis, q, k, v,
+                                                kv_mask)
+    return core

@@ -18,6 +18,7 @@ Usage:
       --output-dir wavs/ [--lang zh|en]
 """
 import argparse
+import zlib
 from pathlib import Path
 
 import jax
@@ -59,6 +60,12 @@ def main():
                         help="vocode in fixed-size chunks (bit-exact, "
                              "O(chunk) memory, one compile for any "
                              "length); 0 = one-shot")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence parallelism: shard the decoder "
+                             "frame axis over N devices with ring "
+                             "attention (long-form synthesis; "
+                             "--max-frames must be divisible by N; "
+                             "output is identical to --sp 1)")
     add_device_arg(parser)
     args = parser.parse_args()
     if (args.pwg_checkpoint is None) != (args.pwg_config is None):
@@ -70,7 +77,18 @@ def main():
     am_cfg = Config.from_yaml(args.fastspeech2_config)
     idim = sum(1 for _ in open(args.phones_dict))
 
+    sp_mesh = None
+    decoder_attn_core = None
+    if args.sp > 1:
+        from parakeet_tpu.parallel import make_mesh, make_ring_attn_core
+        if args.max_frames % args.sp:
+            parser.error(f"--max-frames {args.max_frames} not divisible "
+                         f"by --sp {args.sp}")
+        sp_mesh = make_mesh(data=1, model=args.sp)
+        decoder_attn_core = make_ring_attn_core(sp_mesh, "model")
+
     am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
+                     decoder_attn_core=decoder_attn_core,
                      **inference_model_kwargs(am_cfg.get("model", {})))
     am_vars = load_variables(args.fastspeech2_checkpoint)
     voc = voc_params = None
@@ -134,6 +152,10 @@ def main():
                        method=FastSpeech2.inference)
         return out["after_outs"], out["frame_lengths"]
 
+    if sp_mesh is not None:
+        from parakeet_tpu.parallel import replicate
+        am_vars = replicate(am_vars, sp_mesh)
+
     args.output_dir.mkdir(parents=True, exist_ok=True)
     for line in open(args.text):
         parts = line.strip().split(maxsplit=1)
@@ -165,7 +187,9 @@ def main():
             voc_in = mel
             if voc_norm is not None:
                 voc_in = np.asarray(voc_norm.transform(voc_in))
-            rng = jax.random.PRNGKey(abs(hash(utt_id)) % (2 ** 31))
+            # deterministic per-utterance seed (python hash() is salted
+            # per process, which would make runs non-reproducible)
+            rng = jax.random.PRNGKey(zlib.crc32(utt_id.encode()))
             if args.streaming_chunk_frames > 0:
                 wav = pwg_streaming_inference(
                     voc, {"params": voc_params}, jnp.asarray(voc_in),
