@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.postnet import Postnet, Prenet
+from ..ops.buffers import carry_buffer
 from ..nn.style_encoder import StyleEncoder
 from ..nn.transformer import TransformerEncoder, TransformerDecoder
 from ..ops.losses import (attention_guide, stop_token_bce, weighted_mean)
@@ -281,8 +282,14 @@ class TransformerTTS(nn.Module):
         t_max = max_decoder_steps
 
         def empty_cache():
-            return {"k": jnp.zeros((b, t_max, self.aheads, dk), self.dtype),
-                    "v": jnp.zeros((b, t_max, self.aheads, dk), self.dtype),
+            # carry_buffer, NOT jnp.zeros: these caches are index-written
+            # via dynamic_update_slice inside the scan, which triggers an
+            # axon while-loop init miscompile for 16-bit dtypes
+            # (ops/buffers.py; tools/diagnose_axon_carry_init.py)
+            return {"k": carry_buffer((b, t_max, self.aheads, dk),
+                                      self.dtype),
+                    "v": carry_buffer((b, t_max, self.aheads, dk),
+                                      self.dtype),
                     "index": jnp.zeros((), jnp.int32)}
 
         caches = [empty_cache() for _ in range(self.dlayers)]
