@@ -50,6 +50,13 @@ def main():
                         help="lines: <utt_id> <sentence>")
     parser.add_argument("--output-dir", type=Path, default=Path("wavs"))
     parser.add_argument("--lang", default="zh", choices=("zh", "en", "en-char"))
+    parser.add_argument("--speaker-dict", type=Path, default=None,
+                        help="speaker_id_map.txt for multi-speaker "
+                             "models (aishell3/vctk; reference: examples/"
+                             "fastspeech2/aishell3/synthesize_e2e.py:47-56)")
+    parser.add_argument("--spk-id", type=int, default=0,
+                        help="speaker id to synthesize with "
+                             "(multi-speaker models)")
     parser.add_argument("--max-text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=1024)
     parser.add_argument("--export-dir", type=Path, default=None,
@@ -76,6 +83,11 @@ def main():
 
     am_cfg = Config.from_yaml(args.fastspeech2_config)
     idim = sum(1 for _ in open(args.phones_dict))
+    model_overrides = dict(am_cfg.get("model", {}))
+    if args.speaker_dict is not None:
+        model_overrides.setdefault(
+            "num_speakers", sum(1 for _ in open(args.speaker_dict)))
+        model_overrides.setdefault("spk_embed_dim", 256)
 
     sp_mesh = None
     decoder_attn_core = None
@@ -89,7 +101,7 @@ def main():
 
     am = FastSpeech2(idim=idim, odim=am_cfg.n_mels,
                      decoder_attn_core=decoder_attn_core,
-                     **inference_model_kwargs(am_cfg.get("model", {})))
+                     **inference_model_kwargs(model_overrides))
     am_vars = load_variables(args.fastspeech2_checkpoint)
     voc = voc_params = None
     if args.pwg_checkpoint is not None:
@@ -103,6 +115,8 @@ def main():
     voc_norm = (ZScore(*np.load(args.pwg_stat)) if args.pwg_stat else None)
 
     get_ids = build_text_to_ids(args.lang, args.phones_dict)
+    spk_id = (jnp.asarray([args.spk_id], jnp.int32)
+              if args.speaker_dict is not None else None)
 
     if args.export_dir is not None:
         # static-graph deploy artifacts (reference: paddle.jit.save of the
@@ -116,7 +130,7 @@ def main():
         def am_export(text, text_lengths):
             out = am.apply(am_vars, text, text_lengths,
                            max_frames=args.max_frames, min_duration=1,
-                           method=FastSpeech2.inference)
+                           spk_id=spk_id, method=FastSpeech2.inference)
             mel = out["after_outs"]
             if am_norm is not None:
                 mel = am_norm.inverse(mel)
@@ -149,7 +163,7 @@ def main():
     def am_infer(variables, text, text_lengths):
         out = am.apply(variables, text, text_lengths,
                        max_frames=args.max_frames, min_duration=1,
-                       method=FastSpeech2.inference)
+                       spk_id=spk_id, method=FastSpeech2.inference)
         return out["after_outs"], out["frame_lengths"]
 
     if sp_mesh is not None:
