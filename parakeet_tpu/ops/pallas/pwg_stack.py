@@ -8,30 +8,40 @@ so the stack is bandwidth-bound at ~70 ms despite only ~0.8 TFLOP of
 bf16 compute.  This kernel keeps activations in VMEM across a *group* of
 layers (one stack of 10, dilations 1..512):
 
-- grid (batch, time-blocks).  x and c stay in HBM (memory_space=ANY);
-  each step DMAs one extended window of BLOCK + 2*HALO rows into VMEM,
-  where HALO = 1024 >= sum(dilations in the group) bounds the receptive
-  field growth, and runs all layers of the group on it.  Rows inside the
-  halo become progressively garbage (roll wrap-around); the center BLOCK
-  rows stay exact, and only they are written out.  (Expressing the halo
-  as prev/cur/next BlockSpec views instead triples the double-buffered
-  input windows and blows the 16 MB VMEM budget.)
-- dilated 3-tap convs are shifted matmuls: the +-d taps are
-  ``pltpu.roll`` of the fp32 x buffer (Mosaic only rotates 32-bit data),
-  lane-concatenated to a (R, 2*Cr) operand so the tap matmul runs at
-  full MXU width; the center tap and the mel conditioning are separate
-  dots.  All matmuls are bf16 with fp32 accumulation.
-- per layer: gate = taps + aux + bias; h = tanh(a)*sigmoid(b);
+- grid (batch, time-blocks), time sequential.  x and c stay in HBM
+  (memory_space=ANY); each step DMAs one window of BLOCK + HALO rows
+  into VMEM (right lookahead only — the convs are non-causal) and runs
+  all layers of the group on it.
+- LEFT context needs no halo at all: the TPU grid executes time-blocks
+  sequentially, so each layer's d input rows at the end of the center
+  block are saved in a VMEM scratch (`tails`) and consumed by the next
+  grid step — exact (fp32, no HBM round-trip) and ~25% less DMA/MXU/VPU
+  work than the symmetric-halo formulation this replaced.
+- RIGHT halo rows become progressively garbage as the valid region
+  shrinks by d per layer; the center BLOCK rows stay exact, and only
+  they are written out.
+- dilated 3-tap convs are shifted matmuls: the +-d taps are static
+  sublane-offset slices of the fp32 work buffer, lane-concatenated to a
+  (R, 2*Cr) operand so the tap matmul runs at full MXU width; the
+  center tap and the mel conditioning are separate dots.  The gate bias
+  rides the conditioning matmul through a constant-1 lane (one fewer
+  (R, 2cr) fp32 add per layer).  All matmuls are bf16 with fp32
+  accumulation.
+- per layer: gate = taps + aux(+bias); h = tanh(a)*sigmoid(b);
   [skip|res] = h @ [Wskip|Wout]; skips += skip (fp32 accumulator);
-  x = (res + x) * sqrt(0.5), re-masked to zero outside the true signal
+  x = (res + x) * sqrt(0.5), re-masked to zero past the signal end
   (the XLA path re-applies SAME zero padding at each conv; a gated
   block of zero input is NOT zero, so evolved padding would otherwise
   leak back into the signal edges).
 
 Chaining the ``stacks`` groups happens in XLA (one pallas_call per
-group; x and the skip partial sums make one HBM round-trip per group,
-~0.5 ms total).  Forward-only: ResidualStack uses this path for
-inference ('auto' on TPU); training takes the differentiable XLA path.
+group; x and the skip partial sums make one HBM round-trip per group).
+Forward-only: ResidualStack uses this path for inference ('auto' on
+TPU); training takes the differentiable XLA path.
+
+Measured at the headline bench point (b=1, T=268800, cr=64, 30 layers):
+20.2 ms vs 24.1 ms for the symmetric-halo BLOCK=2048 kernel it
+replaced (v5e; docs/tpu_performance.md).
 """
 from __future__ import annotations
 
@@ -45,8 +55,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_residual_stack", "fused_stack_supported"]
 
-_BLOCK = 2048     # center samples per grid step
-_HALO = 1024      # receptive-field halo per side per group (>= 1023)
+_BLOCK = 4096     # center samples per grid step
+_HALO = 1024      # right-lookahead halo per group (>= sum of dilations)
+_SLACK = 512      # right-tap overread slack (>= max dilation)
 
 
 def fused_stack_supported(residual_channels: int, gate_channels: int,
@@ -55,7 +66,7 @@ def fused_stack_supported(residual_channels: int, gate_channels: int,
                           aux_channels: int = 80) -> bool:
     if kernel_size != 3 or layers % stacks != 0:
         return False
-    if not 0 < aux_channels <= 128:     # signals are lane-padded to 128
+    if not 0 < aux_channels <= 127:     # lane ca carries the bias ones
         return False
     if gate_channels != 2 * residual_channels:
         return False
@@ -64,81 +75,96 @@ def fused_stack_supported(residual_channels: int, gate_channels: int,
     per = layers // stacks
     if sum(2 ** (i % per) for i in range(layers)) // stacks > _HALO:
         return False
+    if max(2 ** (i % per) for i in range(layers)) > _SLACK:
+        return False
     return residual_channels in (32, 64, 128)
 
 
-def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bt, bso,
-                  x_next, skip_out, xdma, cdma, xbuf, sbuf,
+def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
+                  x_next, skip_out, xdma, cdma, xw, sbuf, tails,
                   sem_x, sem_c,
                   *, dils, cr: int, ca: int, t_signal: int):
-    """One group of len(dils) gated residual layers on an extended window.
+    """One group of len(dils) gated residual layers on a right-extended
+    window with carried left tails.
 
-    x_hbm: (B, pad_t + 2*BLOCK, 128) bf16 in HBM (one full BLOCK of
-    padding per side so output blocks are block-aligned; lanes padded to
-    128 for DMA tiling); c_hbm likewise (ca lanes used)
+    x_hbm: (B, pad_t + 2*BLOCK, 128) bf16 in HBM; c_hbm likewise
     w02: (Lg, 2cr, 2cr) bf16   [w_tap0; w_tap2] stacked on contraction
     w1:  (Lg, cr, 2cr) bf16    center tap
-    wa:  (Lg, ca, 2cr) bf16    aux 1x1
+    wa:  (Lg, ca+1, 2cr) bf16  aux 1x1, last row = gate bias (the DMA
+    buffer's lane ca is set to 1.0, so the bias rides the aux matmul
+    instead of costing a separate (R, 2cr) fp32 add per layer)
     wso: (Lg, cr, 2cr) bf16    [Wskip | Wout] stacked on output
-    bt:  (Lg, 1, 2cr) f32      gate bias
-    bso: (Lg, 1, 2cr) f32      [skip bias | out bias]
-    x_next: (1, BLOCK, 128) bf16 output block at BLOCK index f+1 of the
-    (B, (nblk+2)*BLOCK, 128) padded array — the next group's input is
-    written directly in its padded layout (pipelined by the BlockSpec
-    machinery), so the inter-group lane-padding copies never
-    materialize in XLA.  Pad/halo regions of that array are UNWRITTEN
-    garbage; loads select-mask out-of-signal rows and slice lanes
-    [:cr], so garbage never reaches the math.
+    bt/bso: (Lg, 1, 2cr) f32 biases
+    x_next: (1, BLOCK, 128) bf16 at BLOCK index f+1 of the padded array
     skip_out: (1, BLOCK, cr) f32
-    scratch: xdma/cdma (R, 128) bf16 DMA landing buffers, xbuf (R, cr)
-    f32, sbuf (R, cr) f32, sem_x/sem_c DMA semaphores
+    scratch: xdma/cdma (R, 128) bf16 DMA buffers; xw
+    (HALO + R + SLACK, cr) f32 work buffer (tail rows at
+    [HALO-d, HALO), x rows at [HALO, HALO+R), slack garbage above);
+    sbuf (R, cr) f32 skip accumulator; tails (sum(dils), cr) f32 —
+    layer j's d_j input rows at static offset cum_{<j}, persisted
+    across sequential grid steps; sem_x/sem_c DMA semaphores.
     """
-    r = _BLOCK + 2 * _HALO
+    r = _BLOCK + _HALO
     bb = pl.program_id(0)
     f = pl.program_id(1)
-    # the padded array leads with one full BLOCK; ext starts HALO before
-    # the center block (multiple_of: Mosaic's divisibility prover cannot
-    # reduce the symbolic (f+1)*BLOCK - HALO expression itself)
-    row0 = pl.multiple_of(f * _BLOCK + (_BLOCK - _HALO), 256)
+    # window = global rows [f*BLOCK, f*BLOCK + R); the padded array
+    # leads with one full BLOCK
+    row0 = pl.multiple_of((f + 1) * _BLOCK, 256)
 
     cp_x = pltpu.make_async_copy(x_hbm.at[bb, pl.ds(row0, r)], xdma, sem_x)
     cp_c = pltpu.make_async_copy(c_hbm.at[bb, pl.ds(row0, r)], cdma, sem_c)
     cp_x.start()
     cp_c.start()
 
-    # global signal row of ext row i is f*BLOCK - HALO + i
-    gstart = f * _BLOCK - _HALO
+    # left context of block 0 is silence: zero the carried tails
+    @pl.when(f == 0)
+    def _():
+        tails[:] = jnp.zeros_like(tails)
+
+    # global signal row of window row i is f*BLOCK + i (never < 0, so
+    # only the right end needs masking)
+    gstart = f * _BLOCK
     rows = gstart + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-    mask = ((rows >= 0) & (rows < t_signal)).astype(jnp.float32)
+    mask = (rows < t_signal).astype(jnp.float32)
 
     cp_x.wait()
     cp_c.wait()
     # mask at load: the x_next buffers carry garbage in halo/pad regions
     # (select, not multiply — the garbage may be NaN/inf)
-    xbuf[:] = jnp.where(mask > 0, xdma[:, :cr].astype(jnp.float32), 0.0)
+    xw[_HALO:_HALO + r] = jnp.where(
+        mask > 0, xdma[:, :cr].astype(jnp.float32), 0.0)
     sbuf[:] = jnp.zeros((r, cr), jnp.float32)
 
-    cb = cdma[:, :ca]
+    cdma[:, ca:ca + 1] = jnp.ones((r, 1), jnp.bfloat16)
+    cb = cdma[:, :ca + 1]
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+    off = 0
     for j, d in enumerate(dils):
-        x = xbuf[:]
-        # taps: row t of roll(x, d) holds x[t - d]
-        left = pltpu.roll(x, d, 0).astype(jnp.bfloat16)
-        right = pltpu.roll(x, r - d, 0).astype(jnp.bfloat16)
+        # carried tail: this layer's input rows [f*BLOCK-d, f*BLOCK)
+        xw[_HALO - d:_HALO] = tails[off:off + d]
+        # save rows [(f+1)*BLOCK - d, (f+1)*BLOCK) of the SAME input
+        # for the next grid step (read-then-write is safe: loads below
+        # produce values before the store lands)
+        tails[off:off + d] = xw[_HALO + _BLOCK - d:_HALO + _BLOCK]
+        off += d
+
+        x = xw[_HALO:_HALO + r]
+        left = xw[_HALO - d:_HALO - d + r].astype(jnp.bfloat16)
+        right = xw[_HALO + d:_HALO + d + r].astype(jnp.bfloat16)
         taps = jnp.concatenate([left, right], axis=1)       # (R, 2cr)
         g = (dot(taps, w02[j]) + dot(x.astype(jnp.bfloat16), w1[j])
-             + dot(cb, wa[j]) + bt[j])
+             + dot(cb, wa[j]))
         h = (jnp.tanh(g[:, :cr])
              * jax.nn.sigmoid(g[:, cr:])).astype(jnp.bfloat16)
         so = dot(h, wso[j]) + bso[j]                        # (R, 2cr)
         sbuf[:] = sbuf[:] + so[:, :cr]
-        xbuf[:] = (so[:, cr:] + x) * (math.sqrt(0.5) * mask)
+        xw[_HALO:_HALO + r] = (so[:, cr:] + x) * (math.sqrt(0.5) * mask)
 
-    x_next[0, :, :cr] = xbuf[_HALO:_HALO + _BLOCK].astype(jnp.bfloat16)
-    skip_out[0] = sbuf[_HALO:_HALO + _BLOCK]
+    x_next[0, :, :cr] = xw[_HALO:_HALO + _BLOCK].astype(jnp.bfloat16)
+    skip_out[0] = sbuf[:_BLOCK]
 
 
 def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
@@ -149,7 +175,8 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
     (B, nblk*BLOCK, cr) [f32])."""
     lg = len(dils)
     blk = _BLOCK
-    r = blk + 2 * _HALO
+    r = blk + _HALO
+    sum_d = int(sum(dils))
 
     def wspec(shape):
         return pl.BlockSpec(shape, lambda bb, f: (0,) * len(shape),
@@ -163,8 +190,8 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
                   wspec((lg, 2 * cr, 2 * cr)), wspec((lg, cr, 2 * cr)),
-                  wspec((lg, ca, 2 * cr)), wspec((lg, cr, 2 * cr)),
-                  wspec((lg, 1, 2 * cr)), wspec((lg, 1, 2 * cr))],
+                  wspec((lg, ca + 1, 2 * cr)), wspec((lg, cr, 2 * cr)),
+                  wspec((lg, 1, 2 * cr))],
         out_specs=[
             pl.BlockSpec((1, blk, 128), lambda bb, f: (bb, f + 1, 0),
                          memory_space=pltpu.VMEM),
@@ -176,8 +203,10 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
             jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((r, 128), jnp.bfloat16),
                         pltpu.VMEM((r, 128), jnp.bfloat16),
+                        pltpu.VMEM((_HALO + r + _SLACK, cr),
+                                   jnp.float32),
                         pltpu.VMEM((r, cr), jnp.float32),
-                        pltpu.VMEM((r, cr), jnp.float32),
+                        pltpu.VMEM((sum_d, cr), jnp.float32),
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
@@ -202,12 +231,13 @@ def fused_residual_stack(x, c, weights, *, dilations, stacks):
     conv = weights["conv"].astype(jnp.bfloat16)        # (L, 3, cr, 2cr)
     w02 = jnp.concatenate([conv[:, 0], conv[:, 2]], axis=1)
     w1 = conv[:, 1]
-    wa = weights["aux"].astype(jnp.bfloat16)
+    zeros_g = jnp.zeros((l, 1, 2 * cr), jnp.float32)
+    bt_row = (zeros_g if weights.get("conv_b") is None
+              else weights["conv_b"][:, None, :].astype(jnp.float32))
+    wa = jnp.concatenate(
+        [weights["aux"], bt_row], axis=1).astype(jnp.bfloat16)
     wso = jnp.concatenate([weights["skip"], weights["out"]],
                           axis=2).astype(jnp.bfloat16)  # (L, cr, 2cr)
-    zeros_g = jnp.zeros((l, 1, 2 * cr), jnp.float32)
-    bt = (zeros_g if weights.get("conv_b") is None
-          else weights["conv_b"][:, None, :].astype(jnp.float32))
     if weights.get("skip_b") is None:
         bso = zeros_g
     else:
@@ -232,7 +262,7 @@ def fused_residual_stack(x, c, weights, *, dilations, stacks):
     skips = None
     for g in range(stacks):
         sl = slice(g * lg, (g + 1) * lg)
-        wg = (w02[sl], w1[sl], wa[sl], wso[sl], bt[sl], bso[sl])
+        wg = (w02[sl], w1[sl], wa[sl], wso[sl], bso[sl])
         x_pad, sk = _run_group(x_pad, c_pad, wg, dilations[sl], b=b,
                                nblk=nblk, cr=cr, ca=ca, t_signal=t,
                                interpret=interpret)
