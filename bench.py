@@ -60,23 +60,12 @@ def main():
 
     noise0 = jax.random.normal(jax.random.PRNGKey(2), noise.shape)
     args = (fs2_vars, pwg_vars["params"], text, text_lengths, noise0)
-    # MFU denominator: XLA's cost model sees 0 FLOPs inside the fused
-    # Pallas stack (custom call), so count the algorithmically-identical
-    # pure-XLA variant of the same program instead
-    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    pwg_xla = pwg.clone(stack_impl="xla")
-
-    @jax.jit
-    def synthesize_xla(fs2_variables, pwg_params, text, text_lengths,
-                       noise):
-        out = fs2.apply(fs2_variables, text, text_lengths,
-                        max_frames=max_frames, method=FS2.inference)
-        mel = jnp.pad(out["after_outs"], ((0, 0), (2, 2), (0, 0)),
-                      mode="edge")
-        wav = pwg_xla.apply({"params": pwg_params}, noise, mel)
-        return wav[..., 0]
-
-    flops = compiled_flops(synthesize_xla.lower(*args).compile())
+    from parakeet_tpu.utils.flops import (fs2_pwg_synthesis_flops,
+                                          mfu_stats)
+    flops = fs2_pwg_synthesis_flops(fs2, pwg, fs2_vars,
+                                    pwg_vars["params"], text,
+                                    text_lengths, noise0,
+                                    max_frames=max_frames)
     # warmup / compile; the host fetch also forces real execution (on the
     # axon remote backend block_until_ready alone does not synchronize
     # until the process has fetched at least once)

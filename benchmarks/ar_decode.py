@@ -43,7 +43,9 @@ def bench_tacotron2(steps, iters, dtype):
         return out["mel_outputs_postnet"], out["lengths"]
 
     from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    flops = compiled_flops(infer.lower(v, text, tl).compile())
+    # AOT-compile once; reuse the executable (avoids a second compile)
+    infer = infer.lower(v, text, tl).compile()
+    flops = compiled_flops(infer)
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
     t = text
@@ -84,7 +86,9 @@ def bench_transformer_tts(steps, iters, dtype):
         return out["mel"], out["lengths"]
 
     from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    flops = compiled_flops(infer.lower(v, text, tl).compile())
+    # AOT-compile once; reuse the executable (avoids a second compile)
+    infer = infer.lower(v, text, tl).compile()
+    flops = compiled_flops(infer)
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
     t = text

@@ -60,23 +60,12 @@ def main():
         return wav[..., 0], next_noise
 
     noise0 = jax.random.normal(jax.random.PRNGKey(2), noise.shape)
-    # MFU denominator from the pure-XLA variant of the same program
-    # (the fused Pallas stack is a custom call: 0 FLOPs to XLA's model)
-    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    pwg_xla = pwg.clone(stack_impl="xla")
-
-    @jax.jit
-    def synthesize_xla(fs2_variables, pwg_params, text, text_lengths,
-                       noise):
-        out = fs2.apply(fs2_variables, text, text_lengths,
-                        max_frames=max_frames,
-                        method=FastSpeech2.inference)
-        mel = jnp.pad(out["after_outs"], ((0, 0), (2, 2), (0, 0)),
-                      mode="edge")
-        return pwg_xla.apply({"params": pwg_params}, noise, mel)[..., 0]
-
-    flops = compiled_flops(synthesize_xla.lower(
-        fs2_vars, pwg_vars["params"], text, text_lengths, noise0).compile())
+    from parakeet_tpu.utils.flops import (fs2_pwg_synthesis_flops,
+                                          mfu_stats)
+    flops = fs2_pwg_synthesis_flops(fs2, pwg, fs2_vars,
+                                    pwg_vars["params"], text,
+                                    text_lengths, noise0,
+                                    max_frames=max_frames)
     wav, nz = synthesize(fs2_vars, pwg_vars["params"], text, text_lengths,
                          noise0)
     assert bool(np.isfinite(np.asarray(wav)).all())

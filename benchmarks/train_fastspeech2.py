@@ -56,7 +56,9 @@ def main():
     step = make_fs2_train_step(model, tx)
 
     from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    flops = compiled_flops(step.lower(state, batch).compile())
+    # AOT-compile once; reuse the executable (avoids a second compile)
+    step = step.lower(state, batch).compile()
+    flops = compiled_flops(step)
     state, metrics = step(state, batch)
     np.asarray(metrics["loss"])
 

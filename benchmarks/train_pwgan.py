@@ -57,9 +57,13 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
                                discriminator_train_start_steps=0)
 
     from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    flops = compiled_flops(step.lower(state, batch).compile())
-    state, metrics = step(state, batch)            # compile
-    np.asarray(metrics["generator_loss"])          # force real execution
+    # AOT-compile once; reuse the executable (a plain step() call after
+    # .lower().compile() would recompile — the jit dispatch cache is not
+    # populated by AOT compilation)
+    step = step.lower(state, batch).compile()
+    flops = compiled_flops(step)
+    state, metrics = step(state, batch)            # first real execution
+    np.asarray(metrics["generator_loss"])
 
     tic = time.perf_counter()
     for _ in range(iters):

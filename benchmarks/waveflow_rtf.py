@@ -46,7 +46,9 @@ def main():
 
     key = jax.random.PRNGKey(1)
     from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
-    flops = compiled_flops(infer.lower(params, mel, key).compile())
+    # AOT-compile once; reuse the executable (avoids a second compile)
+    infer = infer.lower(params, mel, key).compile()
+    flops = compiled_flops(infer)
     wav, key = infer(params, mel, key)
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 

@@ -247,7 +247,7 @@ CHAR_PINYIN_EXTRA = {
     "厅": "ting1", "室": "shi4", "楼": "lou2", "层": "ceng2",
     "梯": "ti1", "院": "yuan4", "墙": "qiang2", "窗": "chuang1",
     "顶": "ding3", "梁": "liang2", "柱": "zhu4", "栏": "lan2",
-    "桥": "qiao2", "街": "jie1", "巷": "xiang4", "города": "lu4",
+    "桥": "qiao2", "街": "jie1", "巷": "xiang4", "路": "lu4",
     "途": "tu2", "径": "jing4", "寺": "si4", "庙": "miao4",
     "塔": "ta3", "城": "cheng2", "乡": "xiang1", "村": "cun1",
     "镇": "zhen4", "县": "xian4", "省": "sheng3", "区": "qu1",
@@ -336,13 +336,13 @@ CHAR_PINYIN_EXTRA = {
     "嫉": "ji2", "耻": "chi3", "辱": "ru3", "荣": "rong2",
     "誉": "yu4", "益": "yi4", "损": "sun3", "害": "hai4",
     "祸": "huo4", "灾": "zai1", "难": "nan2", "险": "xian3",
-    "危": "wei1", "safety": "an1", "吉": "ji2", "祥": "xiang2",
+    "危": "wei1", "安": "an1", "吉": "ji2", "祥": "xiang2",
     "福": "fu2", "寿": "shou4", "禄": "lu4", "喜": "xi3",
     "庆": "qing4", "贺": "he4", "祝": "zhu4", "祈": "qi2",
     "祷": "dao3", "敬": "jing4", "孝": "xiao4", "忠": "zhong1",
     "义": "yi4", "仁": "ren2", "礼": "li3", "智": "zhi4",
     "德": "de2", "品": "pin3", "质": "zhi4", "胆": "dan3",
-    "志": "zhi4", "毅": "yi4", "恒": "heng2", "duty": "ze2",
+    "志": "zhi4", "毅": "yi4", "恒": "heng2",
     "责": "ze2", "任": "ren4", "务": "wu4", "职": "zhi2",
     "权": "quan2", "利": "li4", "法": "fa3", "规": "gui1",
     "律": "lv4", "章": "zhang1", "制": "zhi4", "度": "du4",
@@ -408,8 +408,10 @@ CHAR_PINYIN_EXTRA = {
     "始": "shi3", "久": "jiu3", "永": "yong3", "暂": "zan4",
 }
 
-# word/char entries whose keys are not Chinese (typos guard) are dropped
-WORD_PINYIN = {k: v for k, v in WORD_PINYIN.items()
-               if all("一" <= ch <= "鿿" for ch in k)}
-CHAR_PINYIN_EXTRA = {k: v for k, v in CHAR_PINYIN_EXTRA.items()
-                     if len(k) == 1 and "一" <= k <= "鿿"}
+# non-Chinese keys are data corruption; fail loudly instead of silently
+# dropping entries (a dropped reading degrades G2P with no signal)
+_bad = ([k for k in WORD_PINYIN if not all("一" <= c <= "鿿" for c in k)]
+        + [k for k in CHAR_PINYIN_EXTRA
+           if len(k) != 1 or not "一" <= k <= "鿿"])
+assert not _bad, f"corrupted pinyin table keys: {_bad!r}"
+del _bad

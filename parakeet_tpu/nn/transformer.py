@@ -98,6 +98,12 @@ class MultiHeadAttention(nn.Module):
         if self.attn_core is not None:
             if cache is not None:
                 raise ValueError("attn_core does not support KV caches")
+            if self.dropout_rate > 0.0 and not deterministic:
+                raise ValueError(
+                    "attn_core skips attention dropout; training with "
+                    f"dropout_rate={self.dropout_rate} and a custom core "
+                    "would silently lose regularization (set the rate to "
+                    "0 or train with the dense path)")
             out = self.attn_core(q, k, v, mask)
             out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
                                   dtype=self.dtype, name="out")(

@@ -94,7 +94,11 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
     buffer's lane ca is set to 1.0, so the bias rides the aux matmul
     instead of costing a separate (R, 2cr) fp32 add per layer)
     wso: (Lg, cr, 2cr) bf16    [Wskip | Wout] stacked on output
-    bt/bso: (Lg, 1, 2cr) f32 biases
+    bso: (Lg, 1, 2cr) f32   [skip bias | out bias] (the GATE bias has no
+    separate input: it rides ``wa`` as its last row, which rounds it to
+    bf16 — a deliberate trade: conv biases are O(0.01) so the ~3-digit
+    quantization is far below the kernel's documented bf16 deviation,
+    and it saves one (R, 2cr) fp32 add per layer)
     x_next: (1, BLOCK, 128) bf16 at BLOCK index f+1 of the padded array
     skip_out: (1, BLOCK, cr) f32
     scratch: xdma/cdma (R, 128) bf16 DMA buffers; xw

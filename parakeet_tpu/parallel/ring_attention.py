@@ -147,7 +147,13 @@ def make_ring_attn_core(mesh: Mesh, axis: str = "model"):
     def core(q, k, v, mask):
         kv_mask = None
         if mask is not None:
-            if mask.ndim == 4:          # (B, 1|H, Tq|1, Tk)
+            if mask.ndim == 4:          # (B, 1|H, 1, Tk)
+                if mask.shape[2] != 1:
+                    raise ValueError(
+                        "ring attn_core supports key-padding masks only; "
+                        f"got a per-query (causal?) mask of shape "
+                        f"{mask.shape} — reducing it to one query row "
+                        "would silently drop the causal structure")
                 kv_mask = mask[:, 0, 0, :]
             elif mask.ndim == 3:        # (B, 1, Tk)
                 kv_mask = mask[:, 0, :]

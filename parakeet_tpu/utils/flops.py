@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from typing import Optional
 
-__all__ = ["compiled_flops", "chip_peak_flops", "mfu_stats"]
+__all__ = ["compiled_flops", "chip_peak_flops", "mfu_stats",
+           "fs2_pwg_synthesis_flops"]
 
 # published bf16 peak per chip
 _PEAK_BF16 = {
@@ -64,3 +65,34 @@ def mfu_stats(flops_per_call: Optional[float], seconds_per_call: float,
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_pct": round(100.0 * achieved / chip_peak_flops(dtype), 2),
     }
+
+
+def fs2_pwg_synthesis_flops(fs2, pwg, fs2_vars, pwg_params, text,
+                            text_lengths, noise, *, max_frames: int
+                            ) -> Optional[float]:
+    """MFU denominator for the FastSpeech2+PWGAN synthesis pipeline.
+
+    XLA's cost model sees 0 FLOPs inside the fused Pallas PWG stack (a
+    custom call), so this compiles the algorithmically-identical
+    pure-XLA variant of the same program (``stack_impl='xla'``) and
+    takes its count.  Shared by bench.py and
+    benchmarks/serving_throughput.py so their denominators cannot
+    drift apart.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pwg_xla = pwg.clone(stack_impl="xla")
+    w = pwg.aux_context_window
+
+    @jax.jit
+    def synthesize_xla(fs2_vars, pwg_params, text, text_lengths, noise):
+        out = fs2.apply(fs2_vars, text, text_lengths,
+                        max_frames=max_frames,
+                        method=type(fs2).inference)
+        mel = jnp.pad(out["after_outs"], ((0, 0), (w, w), (0, 0)),
+                      mode="edge")
+        return pwg_xla.apply({"params": pwg_params}, noise, mel)[..., 0]
+
+    return compiled_flops(synthesize_xla.lower(
+        fs2_vars, pwg_params, text, text_lengths, noise).compile())

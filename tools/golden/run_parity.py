@@ -283,12 +283,20 @@ def main():
             print(f"{family:18s} {output:22s} max|d| {maxdiff:9.3e} "
                   f"mse {mse:9.3e}")
     if args.write:
-        lines = ["| family | output | max abs diff | MSE |",
+        marker = "<!-- run_parity.py results -->"
+        lines = [marker, "", "| family | output | max abs diff | MSE |",
                  "|---|---|---|---|"]
         for family, output, maxdiff, mse in rows:
             lines.append(f"| {family} | {output} | {maxdiff:.3e} "
                          f"| {mse:.3e} |")
-        args.write.write_text("\n".join(lines) + "\n")
+        # append to the file (replacing only a previously-appended
+        # results block), never clobber hand-written content
+        prev = args.write.read_text() if args.write.exists() else ""
+        if marker in prev:
+            prev = prev[:prev.index(marker)].rstrip() + "\n"
+        elif prev and not prev.endswith("\n"):
+            prev += "\n"
+        args.write.write_text(prev + "\n".join(lines) + "\n")
     return rows
 
 
