@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--frames", type=int, default=344,
                         help="mel frames (~4 s at 22.05 kHz hop 256)")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--dtype", default="float32",
+                        help="sampling-scan activation dtype (float32 | "
+                             "bfloat16); params, skip/logs accumulation "
+                             "and the affine inversion stay fp32")
     args = parser.parse_args()
 
     import jax
@@ -28,9 +32,10 @@ def main():
     from parakeet_tpu.models import ConditionalWaveFlow
 
     fs, hop = 22050, 256
+    adt = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model = ConditionalWaveFlow(upsample_factors=(16, 16), n_flows=8,
                                 n_layers=8, n_group=16, channels=128,
-                                n_mels=80)
+                                n_mels=80, sample_act_dtype=adt)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal(
         (1, args.frames, 80)).astype(np.float32))
@@ -67,8 +72,9 @@ def main():
     rtf = elapsed / audio_seconds
     print(json.dumps({"metric": "waveflow_synthesis_rtf",
                       "value": round(rtf, 6), "unit": "rtf",
+                      "dtype": args.dtype,
                       "vs_baseline": round(0.025 / rtf, 3),
-                      **mfu_stats(flops, elapsed, "float32")}))
+                      **mfu_stats(flops, elapsed, args.dtype)}))
 
 
 if __name__ == "__main__":

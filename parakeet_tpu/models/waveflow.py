@@ -23,7 +23,7 @@ TPU-first design (not a port):
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -185,24 +185,28 @@ class WaveFlowResidualBlock(nn.Module):
                     for i in range(kh)]
             rows = jnp.concatenate(taps, axis=-1)
         # (kh, kw, C, 2C) -> (kw, kh*C, 2C)
-        kmat = kernel.transpose(1, 0, 2, 3).reshape(kw, -1, c2)
+        # weights cast to the activation dtype (bf16 sampling halves
+        # both the matmul passes and the carried-buffer traffic; all
+        # accumulation stays fp32)
+        kmat = kernel.transpose(1, 0, 2, 3).reshape(
+            kw, -1, c2).astype(rows.dtype)
         acc = None
         for dw in range(kw):
             off = (dw - (kw - 1) // 2) * self.dilation_w
             y = jnp.dot(time_shift(rows, off), kmat[dw],
                         preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
-        h = (acc.astype(rows.dtype) + bias + cond_gate_row)
-        gate = jnp.tanh(h[..., :self.channels]) * jax.nn.sigmoid(
-            h[..., self.channels:])
+        h = (acc + bias + cond_gate_row)                  # fp32
+        gate = (jnp.tanh(h[..., :self.channels])
+                * jax.nn.sigmoid(h[..., self.channels:])
+                ).astype(rows.dtype)
         okern = self.out_proj.variables["params"]["kernel"][0, 0]
         obias = self.out_proj.variables["params"]["bias"]
-        out = jnp.dot(gate, okern,
-                      preferred_element_type=jnp.float32).astype(
-                          rows.dtype) + obias
-        res, skip = out[..., :self.channels], out[..., self.channels:]
+        out = jnp.dot(gate, okern.astype(rows.dtype),
+                      preferred_element_type=jnp.float32) + obias
         x_cur = rows[..., -self.channels:]
-        return x_cur + res, skip
+        res = out[..., :self.channels].astype(rows.dtype)
+        return x_cur + res, out[..., self.channels:]
 
 
 class Flow(nn.Module):
@@ -216,6 +220,13 @@ class Flow(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     dilations_h: Tuple[int, ...] = ()
     dtype: jnp.dtype = jnp.float32
+    # dtype of the sampling scan's carried layer activations/buffers
+    # (None = self.dtype).  bfloat16 halves the sampler's dominant
+    # HBM traffic and matmul passes; the affine inversion and skip/
+    # logs accumulation always stay in self.dtype/fp32, but the
+    # (logs, b) net then deviates ~1e-3 from the fp32 forward, so the
+    # strict inverse(forward(x)) round-trip holds only to ~1e-2.
+    sample_act_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.input_proj = nn.Conv(self.channels, (1, 1), dtype=self.dtype)
@@ -262,8 +273,9 @@ class Flow(nn.Module):
         """
         b, h, w = z.shape
         c = self.channels
+        adt = self.sample_act_dtype or self.dtype
         x0 = z[:, 0]                                  # row 0 passes through
-        bufs = tuple(jnp.zeros((b, w, block.buffer_rows * c), self.dtype)
+        bufs = tuple(jnp.zeros((b, w, block.buffer_rows * c), adt)
                      for block in self.resnet)
         carry = (x0, bufs)
         # step i consumes (z row i, condition row i) — the condition of
@@ -285,9 +297,11 @@ class Flow(nn.Module):
         buffers, then invert the affine transform for the current row."""
         x_prev, bufs = carry
         z_row, cond_row = xs
+        adt = self.sample_act_dtype or self.dtype
         ikern = self.input_proj.variables["params"]["kernel"][0, 0]
         ibias = self.input_proj.variables["params"]["bias"]
-        h_row = x_prev[..., None] * ikern[0] + ibias   # (B, W, C)
+        h_row = (x_prev[..., None] * ikern[0] + ibias
+                 ).astype(adt)                         # (B, W, C)
         skips = 0.0
         new_bufs = []
         c = self.channels
@@ -297,8 +311,7 @@ class Flow(nn.Module):
             ck = block.condition_proj.variables["params"]["kernel"][0, 0]
             cb = block.condition_proj.variables["params"]["bias"]
             cond_g = jnp.dot(cond_row, ck,
-                             preferred_element_type=jnp.float32).astype(
-                                 z_row.dtype) + cb
+                             preferred_element_type=jnp.float32) + cb
             h_row, skip = block.step(rows, cond_g)
             skips = skips + skip
         okern = self.output_proj.variables["params"]["kernel"][0, 0]
@@ -336,6 +349,7 @@ class WaveFlow(nn.Module):
     mel_bands: int = 80
     kernel_size: Tuple[int, int] = (3, 3)
     dtype: jnp.dtype = jnp.float32
+    sample_act_dtype: Optional[jnp.dtype] = None   # see Flow
 
     # per-layer height dilations by n_group (waveflow.py:420-426); the
     # pattern repeats/caps at 8 layers, truncated/cycled for other depths
@@ -353,7 +367,8 @@ class WaveFlow(nn.Module):
         dil_h = tuple(base[i % len(base)] for i in range(self.n_layers))
         self.flows = [
             Flow(self.n_layers, self.channels, self.mel_bands,
-                 self.kernel_size, dilations_h=dil_h, dtype=self.dtype)
+                 self.kernel_size, dilations_h=dil_h, dtype=self.dtype,
+                 sample_act_dtype=self.sample_act_dtype)
             for _ in range(self.n_flows)]
 
     def __call__(self, x, condition):
@@ -408,12 +423,14 @@ class ConditionalWaveFlow(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     sigma: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    sample_act_dtype: Optional[jnp.dtype] = None   # see Flow
 
     def setup(self):
         self.encoder = UpsampleNet(self.upsample_factors, dtype=self.dtype)
         self.decoder = WaveFlow(self.n_flows, self.n_layers, self.n_group,
                                 self.channels, self.n_mels,
-                                self.kernel_size, dtype=self.dtype)
+                                self.kernel_size, dtype=self.dtype,
+                                sample_act_dtype=self.sample_act_dtype)
 
     def __call__(self, audio, mel):
         """audio (B, T), mel (B, T_mel, C).  Returns (z, logs_sum)."""

@@ -34,6 +34,12 @@ def main():
     parser.add_argument("--max-frames", type=int, default=1024)
     parser.add_argument("--sigma", type=float, default=1.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--sample-dtype", default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="sampling-scan activation dtype; bfloat16 "
+                             "halves the sampler's matmul passes and "
+                             "carried-buffer HBM traffic (params and the "
+                             "affine inversion stay fp32)")
     add_device_arg(parser)
     args = parser.parse_args()
     set_device(args.device)
@@ -41,6 +47,8 @@ def main():
     cfg = Config.from_yaml(args.config)
     model_kwargs = inference_model_kwargs(cfg.get("model", {}))
     model_kwargs["sigma"] = args.sigma
+    if args.sample_dtype == "bfloat16":
+        model_kwargs["sample_act_dtype"] = jnp.bfloat16
     model = ConditionalWaveFlow(**model_kwargs)
     params = load_variables(args.checkpoint)["params"]
 

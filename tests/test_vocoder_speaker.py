@@ -159,3 +159,27 @@ def test_waveflow_upsample_matches_convtranspose_odd_and_even():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=f"scale {s}")
+
+
+def test_waveflow_bf16_sampling_close_to_fp32(wf):
+    """sample_act_dtype=bfloat16 (the fast sampler configuration) stays
+    close to the fp32 sampler: same z/condition, deviation bounded by
+    the bf16 net noise amplified through 2 flows."""
+    model, variables, audio, mel = wf
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    pert = {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+    cond = model.apply(pert, mel, method=lambda m, mel: m.encoder(mel))
+    t = (cond.shape[1] // 4) * 4
+    z = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (audio.shape[0], t)).astype(np.float32))
+    x32 = model.apply(pert, z, cond[:, :t],
+                      method=lambda m, z, c: m.decoder.inverse(z, c))
+    fast = model.clone(sample_act_dtype=jnp.bfloat16)
+    x16 = fast.apply(pert, z, cond[:, :t],
+                     method=lambda m, z, c: m.decoder.inverse(z, c))
+    assert np.isfinite(np.asarray(x16)).all()
+    np.testing.assert_allclose(np.asarray(x16), np.asarray(x32),
+                               atol=0.05)
