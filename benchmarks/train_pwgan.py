@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
+def bench_batch_size(batch_size: int, iters: int, dtype='float32',
+                     stack_impl='auto'):
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import (PWGDiscriminator, PWGGenerator,
@@ -32,7 +33,7 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
     gen = PWGGenerator(layers=30, stacks=3, residual_channels=64,
                        gate_channels=128, skip_channels=64,
                        upsample_scales=(4, 5, 3, 5), aux_context_window=2,
-                       dtype=dt)
+                       dtype=dt, stack_impl=stack_impl)
     disc = PWGDiscriminator(layers=10, conv_channels=64, dtype=dt)
     hop = gen.upsample_factor                      # 300
     batch_max_steps = 25500                        # reference config
@@ -62,6 +63,14 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32'):
     # populated by AOT compilation)
     step = step.lower(state, batch).compile()
     flops = compiled_flops(step)
+    if stack_impl == "pallas":
+        # the fused stack is a custom call (0 FLOPs to XLA's cost
+        # model); take the denominator from the algorithmically
+        # identical pure-XLA lowering, as bench.py does
+        step_xla = make_pwg_train_step(
+            gen.clone(stack_impl="xla"), disc, gen_tx, disc_tx,
+            lambda_adv=4.0, discriminator_train_start_steps=0)
+        flops = compiled_flops(step_xla.lower(state, batch).compile())
     state, metrics = step(state, batch)            # first real execution
     np.asarray(metrics["generator_loss"])
 
@@ -82,15 +91,22 @@ def main():
     parser.add_argument("--dtype", default="float32",
                         help="compute dtype (float32 | bfloat16); params "
                              "and loss stay fp32")
+    parser.add_argument("--stack-impl", default="auto",
+                        choices=("auto", "xla", "pallas"),
+                        help="generator residual-stack implementation; "
+                             "'pallas' trains through the fused custom-"
+                             "VJP kernel (ops/pallas/pwg_stack_train.py)")
     args = parser.parse_args()
 
     for bs in args.batch_sizes:
-        ips, mfu = bench_batch_size(bs, args.iters, args.dtype)
+        ips, mfu = bench_batch_size(bs, args.iters, args.dtype,
+                                    args.stack_impl)
         print(json.dumps({"metric": "pwgan_train_avg_ips",
                           "batch_size": bs,
                           "value": round(ips, 3),
                           "unit": "sequences/sec",
-                          "dtype": args.dtype, **mfu}))
+                          "dtype": args.dtype,
+                          "stack_impl": args.stack_impl, **mfu}))
 
 
 if __name__ == "__main__":

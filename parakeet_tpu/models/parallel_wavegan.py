@@ -275,7 +275,9 @@ class ResidualStack(nn.Module):
 
     Parameters are stacked ``(L, ...)`` so the fused Pallas TPU kernel can
     consume them directly; ``impl`` selects 'xla' (shifted matmuls,
-    differentiable, any backend), 'pallas' (fused TPU forward), or 'auto'.
+    differentiable, any backend), 'pallas' (fused TPU kernel — custom-VJP
+    differentiable when dropout == 0, see ops/pallas/pwg_stack_train.py),
+    or 'auto' (fused forward on TPU, XLA elsewhere and under grad).
     """
     layers: int = 30
     stacks: int = 3
@@ -334,25 +336,43 @@ class ResidualStack(nn.Module):
                          cr, cg, cs, k, L, self.stacks,
                          aux_channels=self.aux_channels))
         use_pallas = False
+        use_pallas_train = False
         if self.impl == "pallas":
             if not supported:
                 raise ValueError("fused pallas stack unsupported for this "
                                  "ResidualStack configuration")
-            if not deterministic:
-                raise ValueError(
-                    "impl='pallas' is inference-only (no dropout, no VJP);"
-                    " use impl='xla' (or 'auto') for training")
-            use_pallas = True
+            if deterministic:
+                use_pallas = True
+            else:
+                from ..ops.pallas.pwg_stack_train import (
+                    fused_stack_train_supported)
+                if self.dropout != 0.0:
+                    raise ValueError(
+                        "impl='pallas' training has no dropout path; use "
+                        "impl='xla' (or 'auto') when dropout > 0")
+                if not fused_stack_train_supported(
+                        cr, cg, cs, k, L, self.stacks,
+                        aux_channels=self.aux_channels):
+                    raise ValueError("fused pallas train stack unsupported "
+                                     "for this configuration")
+                use_pallas_train = True
         elif self.impl == "auto":
             use_pallas = (deterministic and supported
                           and jax.default_backend() in ("tpu", "axon"))
-        if use_pallas:
+        if use_pallas or use_pallas_train:
             weights = dict(
                 conv=jax.vmap(_wn)(conv_k, conv_s) if wn else conv_k,
                 aux=jax.vmap(_wn)(aux_k, aux_s) if wn else aux_k,
                 skip=jax.vmap(_wn)(skip_k, skip_s) if wn else skip_k,
                 out=jax.vmap(_wn)(out_k, out_s) if wn else out_k,
                 conv_b=conv_b, skip_b=skip_b, out_b=out_b)
+            if use_pallas_train:
+                from ..ops.pallas.pwg_stack_train import (
+                    fused_residual_stack_train)
+                xf, skips = fused_residual_stack_train(
+                    x.astype(jnp.float32), c.astype(jnp.float32), weights,
+                    dilations=dil, stacks=self.stacks)
+                return xf.astype(dt), skips
             xf, skips = fused_residual_stack(x, c, weights, dilations=dil,
                                              stacks=self.stacks)
             return xf.astype(dt), skips
