@@ -15,12 +15,14 @@ run() {
 
 run python bench.py
 run python benchmarks/waveflow_rtf.py
+run python benchmarks/waveflow_rtf.py --dtype bfloat16
 run python benchmarks/serving_throughput.py
 run python benchmarks/ar_decode.py
 run python benchmarks/train_fastspeech2.py --iters 20
 run python benchmarks/train_fastspeech2.py --iters 20 --dtype bfloat16
 run python benchmarks/train_pwgan.py --iters 20
 run python benchmarks/train_pwgan.py --iters 20 --dtype bfloat16
+run python benchmarks/train_pwgan.py --iters 20 --stack-impl pallas
 
 echo "report written to $out" >&2
 cat "$out"
