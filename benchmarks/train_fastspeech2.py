@@ -23,6 +23,12 @@ def main():
     parser.add_argument("--frames", type=int, default=640)
     parser.add_argument("--dtype", default="float32",
                         help="compute dtype (float32 | bfloat16)")
+    parser.add_argument("--attn-impl", default="dense",
+                        choices=("dense", "flash"),
+                        help="attention core; 'flash' fuses softmax in "
+                             "VMEM (nn/flash.py) and skips attention-"
+                             "weight dropout, so the attn dropout rates "
+                             "are set to 0 for that run")
     args = parser.parse_args()
 
     import jax
@@ -34,8 +40,14 @@ def main():
     b, t, frames, odim = (args.batch_size, args.text_len, args.frames, 80)
     from parakeet_tpu.training.config import resolve_model_kwargs
     dtype = resolve_model_kwargs({"dtype": args.dtype})["dtype"]
+    attn_kwargs = {}
+    if args.attn_impl == "flash":
+        attn_kwargs = {"attn_impl": "flash",
+                       "transformer_enc_attn_dropout_rate": 0.0,
+                       "transformer_dec_attn_dropout_rate": 0.0}
     model = FastSpeech2(idim=80, odim=odim, adim=384, aheads=4, elayers=4,
-                        eunits=1536, dlayers=4, dunits=1536, dtype=dtype)
+                        eunits=1536, dlayers=4, dunits=1536, dtype=dtype,
+                        **attn_kwargs)
     rng = np.random.default_rng(0)
     durations = np.full((b, t), frames // t, np.int64)
     durations[:, -1] += frames - durations[0].sum()
@@ -59,6 +71,13 @@ def main():
     # AOT-compile once; reuse the executable (avoids a second compile)
     step = step.lower(state, batch).compile()
     flops = compiled_flops(step)
+    if args.attn_impl == "flash":
+        # the flash kernel is a custom call (0 FLOPs to XLA's cost
+        # model); take the denominator from the dense lowering of the
+        # same program, as the pwgan bench does for its fused stack
+        dense_model = model.clone(attn_impl="dense")
+        step_dense = make_fs2_train_step(dense_model, tx)
+        flops = compiled_flops(step_dense.lower(state, batch).compile())
     state, metrics = step(state, batch)
     np.asarray(metrics["loss"])
 
@@ -71,6 +90,7 @@ def main():
                       "batch_size": b,
                       "value": round(b / avg_batch_cost, 3),
                       "unit": "sequences/sec",
+                      "attn_impl": args.attn_impl,
                       **mfu_stats(flops, avg_batch_cost, args.dtype)}))
 
 

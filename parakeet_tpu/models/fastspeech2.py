@@ -102,8 +102,20 @@ class FastSpeech2(nn.Module):
     # sequence-parallel ring attention for long-form synthesis
     # (parallel/ring_attention.py); (q, k, v, mask) -> (B, T, H, dk)
     decoder_attn_core: Optional[Callable] = None
+    # attention implementation: "dense" (softmax scores in HBM; supports
+    # attention-weight dropout and alignment plots) or "flash" (fused
+    # Pallas online-softmax kernel, nn/flash.py — scores stay in VMEM;
+    # requires transformer_*_attn_dropout_rate == 0 for training)
+    attn_impl: str = "dense"
 
     def setup(self):
+        if self.attn_impl == "flash":
+            from ..nn.flash import make_flash_attn_core
+            flash_core = make_flash_attn_core()
+        elif self.attn_impl == "dense":
+            flash_core = None
+        else:
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
         self.encoder = TransformerEncoder(
             d_model=self.adim, n_heads=self.aheads, units=self.eunits,
             num_layers=self.elayers, input_layer="embed",
@@ -119,7 +131,7 @@ class FastSpeech2(nn.Module):
             positionwise_layer_type=self.positionwise_layer_type,
             positionwise_conv_kernel_size=(
                 self.positionwise_conv_kernel_size),
-            dtype=self.dtype)
+            dtype=self.dtype, attn_core=flash_core)
         self.decoder = TransformerEncoder(
             d_model=self.adim, n_heads=self.aheads, units=self.dunits,
             num_layers=self.dlayers, input_layer=None,
@@ -134,7 +146,8 @@ class FastSpeech2(nn.Module):
             positionwise_layer_type=self.positionwise_layer_type,
             positionwise_conv_kernel_size=(
                 self.positionwise_conv_kernel_size),
-            dtype=self.dtype, attn_core=self.decoder_attn_core)
+            dtype=self.dtype,
+            attn_core=self.decoder_attn_core or flash_core)
         self.duration_predictor = DurationPredictor(
             n_layers=self.duration_predictor_layers,
             n_chans=self.duration_predictor_chans,
