@@ -20,6 +20,8 @@ run python benchmarks/serving_throughput.py
 run python benchmarks/ar_decode.py
 run python benchmarks/train_fastspeech2.py --iters 20
 run python benchmarks/train_fastspeech2.py --iters 20 --dtype bfloat16
+run python benchmarks/train_fastspeech2.py --iters 20 --attn-impl flash
+run python benchmarks/train_fastspeech2.py --iters 20 --dtype bfloat16 --attn-impl flash
 run python benchmarks/train_pwgan.py --iters 20
 run python benchmarks/train_pwgan.py --iters 20 --dtype bfloat16
 run python benchmarks/train_pwgan.py --iters 20 --stack-impl pallas
