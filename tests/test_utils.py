@@ -58,3 +58,45 @@ def test_step_timer():
     s = t.stats
     assert s["avg_ips"] > 0
     assert s["avg_batch_cost"] >= s["avg_reader_cost"]
+
+
+def test_xplane_trace_to_chrome_and_op_table(tmp_path):
+    """Profile a real jitted call, then run both xplane consumers on
+    the dump: the Chrome-trace converter (utils/timeline.py) and the
+    per-op aggregation tool (tools/op_table.py)."""
+    pytest.importorskip("tensorflow.tsl.profiler.protobuf")
+    import glob
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    from parakeet_tpu.utils.timeline import xplane_to_chrome_trace
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    x = jnp.ones((64, 64))
+    f(x).block_until_ready()            # compile outside the trace
+    jax.profiler.start_trace(str(tmp_path))
+    f(x).block_until_ready()
+    jax.profiler.stop_trace()
+    dumps = glob.glob(str(tmp_path / "plugins/profile/*/*.xplane.pb"))
+    assert dumps, "profiler wrote no xplane dump"
+
+    events = xplane_to_chrome_trace(dumps[0])
+    xs = [e for e in events if e["ph"] == "X"]
+    assert xs and all(e["dur"] >= 0 for e in xs)
+    assert any(e["ph"] == "M" for e in events)  # track metadata
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from op_table import op_table
+    finally:
+        sys.path.pop(0)
+    rows = op_table(dumps[0])
+    assert rows and rows[0][1] >= rows[-1][1]   # sorted by total desc
+    names = {r[0] for r in rows}
+    assert any("fusion" in n or "dot" in n or "jit" in n.lower()
+               for n in names)
