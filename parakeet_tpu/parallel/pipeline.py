@@ -1,0 +1,144 @@
+"""Pipeline parallelism (GPipe-style) over a mesh axis.
+
+The reference has no pipeline parallelism (SURVEY.md 2.9: DP only).
+This is the additive TPU-native scaling mode completing the DP/TP/SP
+set: a depth-stacked run of identical layers is split into
+contiguous *stages* over a mesh axis, and microbatches stream through
+the stages so all devices compute concurrently (modulo the pipeline
+fill/drain bubble of (S-1)/(M+S-1) for S stages and M microbatches).
+
+Mechanics (inside ``shard_map``):
+
+- layer parameters are depth-stacked — every leaf has leading dim L —
+  and sharded over the pipe axis, L/S contiguous layers per device;
+- one ``lax.scan`` runs M+S-1 steps; each step applies this stage's
+  layers to its resident microbatch, then ``ppermute``s the activation
+  one hop down the ring.  Stage 0 injects microbatch t at step t; the
+  last stage's outputs from steps S-1.. are the finished microbatches,
+  in order — no gather buffer, just the scan's stacked ys.
+- the pipelined state may be a pytree of (B, ...) arrays, so
+  per-example auxiliaries (padding masks, conditioning) travel with
+  their microbatch through the ring; ``layer_fn`` must preserve the
+  structure.
+- everything (ppermute, masks, scans) is reverse-differentiable, so
+  ``jax.grad`` through :func:`pipelined_layers` gives exact gradients
+  (the transpose schedules the drain in reverse).
+
+The shipped TTS models (<50 M params) never *need* PP — it exists for
+scale headroom (deep decoder stacks / long frame sequences) and
+composes with the ``data`` mesh axis for DP x PP.  Loss/grad identity
+vs the serial stack is tested on the 8-device CPU mesh
+(tests/test_pipeline_parallel.py) and dry-run as a
+``__graft_entry__.dryrun_multichip`` leg.
+
+Activation memory: reverse-mode saves each step's carry, so training
+memory scales with M+S-1 step activations of one microbatch; wrap
+``layer_fn`` in ``jax.checkpoint`` to trade FLOPs back for HBM.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+__all__ = ["pipeline_layers", "pipelined_layers"]
+
+
+def pipeline_layers(layer_fn: Callable, stacked_params, x, *,
+                    axis_name: str, n_microbatches: int,
+                    broadcast_out: bool = True):
+    """Run ``L`` stacked layers over ``x`` with microbatch pipelining.
+
+    Must run inside ``shard_map`` with ``stacked_params`` leaves
+    sharded on their leading (depth) dim over ``axis_name``.
+
+    Parameters
+    ----------
+    layer_fn : (one_layer_params, state) -> state — one layer,
+        structure- and shape-preserving over ``state``.
+    stacked_params : pytree; every leaf (L_local, ...) — this stage's
+        contiguous slice of the depth-stacked parameters.
+    x : pytree of (B, ...) arrays — the full (replicated) batch and any
+        per-example auxiliaries (masks, conditioning) the layers read;
+        B % n_microbatches == 0.
+    broadcast_out : when True (default) the output is psum-broadcast
+        from the last stage so every device returns the real (B, ...)
+        result.  Set False when a downstream masked loss handles the
+        "only the last stage is real" convention and the extra
+        all-reduce matters.
+
+    Returns the ``x``-structured state after all L = S * L_local layers.
+    """
+    s = jax.lax.psum(1, axis_name)              # static under shard_map
+    sid = jax.lax.axis_index(axis_name)
+    m = n_microbatches
+    tmap = partial(jax.tree_util.tree_map)
+    b = jax.tree_util.tree_leaves(x)[0].shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    xm = tmap(lambda a: a.reshape(m, b // m, *a.shape[1:]), x)
+    # one hop down the line; no wraparound — ppermute leaves stage 0's
+    # input zeros, which the injection overwrites while real microbatches
+    # remain, and which are computed-but-never-collected afterwards
+    perm = [(i, i + 1) for i in range(s - 1)]
+
+    def apply_stage(h):
+        def body(hh, p):
+            return layer_fn(p, hh), None
+        h, _ = jax.lax.scan(body, h, stacked_params)
+        return h
+
+    # the carry init must carry the same varying-axes type as the loop
+    # output: zeros_like(xm[0]) inherits whatever OTHER mesh axes x
+    # varies over (e.g. an outer data axis), and pcast adds the pipe
+    # axis (see ring_attention; shard_map carry-type rule)
+    state0 = tmap(
+        lambda a: jax.lax.pcast(jnp.zeros_like(a[0]), (axis_name,),
+                                to="varying"), xm)
+
+    def step(state, t):
+        inject = tmap(lambda a: jax.lax.dynamic_index_in_dim(
+            a, jnp.clip(t, 0, m - 1), 0, keepdims=False), xm)
+        take = jnp.logical_and(sid == 0, t < m)
+        y = apply_stage(tmap(lambda i, h: jnp.where(take, i, h),
+                             inject, state))
+        return tmap(lambda a: jax.lax.ppermute(a, axis_name, perm), y), y
+
+    _, ys = jax.lax.scan(step, state0, jnp.arange(m + s - 1))
+    # on the last stage, step t emits finished microbatch t-(S-1):
+    # steps S-1 .. M+S-2 are microbatches 0..M-1, in order
+    out = tmap(lambda a: a[s - 1:].reshape(b, *a.shape[2:]), ys)
+    if broadcast_out:
+        out = tmap(
+            lambda a: jax.lax.psum(
+                jnp.where(sid == s - 1, a, jnp.zeros_like(a)), axis_name),
+            out)
+    return out
+
+
+def pipelined_layers(layer_fn: Callable, stacked_params, x, mesh: Mesh,
+                     axis: str = "model", *, n_microbatches: int):
+    """Host-side wrapper: shard the depth-stacked ``stacked_params``
+    over ``mesh[axis]`` (leading dim of every leaf) and pipeline ``x``
+    (a (B, ...) array or pytree of them) through the stages.  Depth L
+    must be divisible by the axis size.
+
+    Composes with a ``data`` axis: call :func:`pipeline_layers` under
+    your own shard_map with the batch sharded over ``data`` (see
+    tests/test_pipeline_parallel.py) — this wrapper replicates ``x``.
+    """
+    size = mesh.shape[axis]
+    for leaf in jax.tree_util.tree_leaves(stacked_params):
+        if leaf.shape[0] % size:
+            raise ValueError(
+                f"stacked depth {leaf.shape[0]} not divisible by "
+                f"{size}-stage pipe axis {axis!r}")
+    fn = partial(pipeline_layers, layer_fn, axis_name=axis,
+                 n_microbatches=n_microbatches)
+    shard_fn = jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=P())
+    return shard_fn(stacked_params, x)
