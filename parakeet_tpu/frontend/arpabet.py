@@ -4,10 +4,16 @@ Equivalent of the reference ARPABET frontends (reference:
 parakeet/frontend/arpabet.py:26-302), which wrap ``g2p_en``.  This image
 has no ``g2p_en`` / CMUdict data, so G2P is pluggable:
 
-1. ``g2p_en`` if importable (same behavior as the reference),
-2. a user-supplied CMU-format pronouncing dictionary file,
-3. a compact built-in letter-to-sound rule fallback (always available —
-   lower accuracy, but keeps the full text->speech path self-contained).
+1. a user-supplied CMU-format pronouncing dictionary file,
+2. ``g2p_en`` if importable (same behavior as the reference),
+3. the built-in frequent-word lexicon (``_arpabet_data.py``, CMUdict
+   conventions) with morphological suffix handling (-s/-es/-ies, -ed,
+   -ing, -ly) — always available,
+4. compact letter-to-sound rules for true OOVs.
+
+Accuracy of the self-contained chain (3->4) is measured by
+recipes/text_frontend/test_en_g2p.py and recorded in
+docs/frontend_accuracy.md.
 """
 from __future__ import annotations
 
@@ -16,8 +22,8 @@ import re
 from typing import Dict, List, Optional
 
 __all__ = ["ARPABET_PHONES", "ARPABET_STRESS_PHONES", "G2PBackend",
-           "RuleG2P", "LexiconG2P", "get_g2p", "ARPABET",
-           "ARPABETWithStress"]
+           "RuleG2P", "LexiconG2P", "BuiltinLexiconG2P", "get_g2p",
+           "ARPABET", "ARPABETWithStress"]
 
 # The 39-phoneme ARPABET inventory (public standard; reference
 # arpabet.py:26 lists the same set).
@@ -129,12 +135,98 @@ class RuleG2P(G2PBackend):
                                                        "Z", "M", "N", "NG",
                                                        "L", "R", "W", "Y"}):
                         phones.append("Z")
+                    # word-final 'y' after a consonant -> IY (city, happy)
+                    elif (pat == "y" and i == len(w) - 1 and i > 0
+                          and w[i - 1] not in "aeiou"):
+                        phones.append("IY")
                     else:
                         phones.extend(ph)
                     i += len(pat)
                     break
             else:
                 i += 1  # skip unknown character
+        return phones
+
+
+class BuiltinLexiconG2P(G2PBackend):
+    """Built-in frequent-word lexicon (``_arpabet_data.BUILTIN_LEXICON``,
+    ~1,150 citation-form entries) with morphological suffix derivation;
+    true OOVs fall to letter-to-sound rules.  Mirrors the zh fallback
+    design (word table first, rules last, frontend/_pinyin_data.py)."""
+
+    _VOICELESS = {"P", "T", "K", "F", "TH"}
+    _SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+    def __init__(self, strip_stress: bool = True,
+                 fallback: Optional[G2PBackend] = None):
+        from ._arpabet_data import BUILTIN_LEXICON
+        self.strip_stress = strip_stress
+        self.fallback = fallback or RuleG2P()
+        self.table: Dict[str, List[str]] = {
+            w: ph.split() for w, ph in BUILTIN_LEXICON.items()}
+
+    def _lookup(self, w: str) -> Optional[List[str]]:
+        phones = self.table.get(w)
+        return list(phones) if phones is not None else None
+
+    def _suffix_s(self, base: List[str]) -> List[str]:
+        last = re.sub(r"\d", "", base[-1])
+        if last in self._SIBILANT:
+            return base + ["IH0", "Z"]
+        if last in self._VOICELESS:
+            return base + ["S"]
+        return base + ["Z"]
+
+    def _derive(self, w: str) -> Optional[List[str]]:
+        """Regular morphology over lexicon base forms."""
+        # plural / 3rd-person / possessive: -'s, -s', -s, -es, -ies
+        for suf, base_of in (("'s", lambda v: v[:-2]),
+                             ("s'", lambda v: v[:-1]),
+                             ("ies", lambda v: v[:-3] + "y"),
+                             ("es", lambda v: v[:-2]),
+                             ("s", lambda v: v[:-1])):
+            if w.endswith(suf) and len(w) > len(suf) + 1:
+                base = self._lookup(base_of(w))
+                if base:
+                    return self._suffix_s(base)
+        # past tense: -ed (walk/walked, bake/baked, stop/stopped)
+        if w.endswith("ed") and len(w) > 3:
+            candidates = [w[:-2], w[:-1]]
+            if len(w) > 4 and w[-3] == w[-4]:
+                candidates.append(w[:-3])          # doubled consonant
+            for cand in candidates:
+                base = self._lookup(cand)
+                if base:
+                    last = re.sub(r"\d", "", base[-1])
+                    if last in {"T", "D"}:
+                        return base + ["IH0", "D"]
+                    if last in self._VOICELESS | {"S", "SH", "CH", "K"}:
+                        return base + ["T"]
+                    return base + ["D"]
+        # progressive: -ing (walk/walking, bake/baking, run/running)
+        if w.endswith("ing") and len(w) > 4:
+            candidates = [w[:-3], w[:-3] + "e"]
+            if len(w) > 5 and w[-4] == w[-5]:
+                candidates.append(w[:-4])          # doubled consonant
+            for cand in candidates:
+                base = self._lookup(cand)
+                if base:
+                    return base + ["IH0", "NG"]
+        # adverbial: -ly
+        if w.endswith("ly") and len(w) > 3:
+            base = self._lookup(w[:-2])
+            if base:
+                return base + ["L", "IY0"]
+        return None
+
+    def __call__(self, word: str) -> List[str]:
+        w = word.lower()
+        phones = (self._lookup(w) or self._lookup(w.replace("'", ""))
+                  or self._derive(w))
+        if phones is None:
+            phones = self.fallback(word)
+        if self.strip_stress:
+            phones = [re.sub(r"\d", "", p) for p in phones]
         return phones
 
 
@@ -155,7 +247,7 @@ def get_g2p(lexicon_path: Optional[str] = None) -> G2PBackend:
     try:
         return _G2pEnBackend()
     except Exception:
-        return RuleG2P()
+        return BuiltinLexiconG2P()
 
 
 class ARPABET:
@@ -176,8 +268,9 @@ class ARPABET:
     _WORD = re.compile(r"[a-z']+|[,.?!]")
 
     def _word_phones(self, word: str) -> List[str]:
-        return [re.sub(r"\d", "", p)
-                for p in self.backend(word.replace("'", ""))]
+        # pass the raw token: contraction entries ("don't") live in the
+        # lexicons; backends ignore/strip apostrophes themselves
+        return [re.sub(r"\d", "", p) for p in self.backend(word)]
 
     def phoneticize(self, sentence: str,
                     add_start_end: bool = False) -> List[str]:
@@ -232,12 +325,12 @@ class ARPABETWithStress(ARPABET):
                                 if re.match(r"[A-Z]", p)]
                 self.backend = _Stressed()
             except Exception:
-                self.backend = RuleG2P()
+                self.backend = BuiltinLexiconG2P(strip_stress=False)
         self.vocab = Vocab(ARPABET_STRESS_PHONES + self.punctuations)
 
     def _word_phones(self, word: str) -> List[str]:
         out = []
-        for p in self.backend(word.replace("'", "")):
+        for p in self.backend(word):
             base = re.sub(r"\d", "", p)
             if base in _VOWELS and not re.search(r"\d", p):
                 p = base + "0"
