@@ -217,6 +217,32 @@ class BuiltinLexiconG2P(G2PBackend):
             base = self._lookup(w[:-2])
             if base:
                 return base + ["L", "IY0"]
+        # concatenative suffixes (no stem phonology change)
+        for suf, tail in (("ness", ["N", "AH0", "S"]),
+                          ("ment", ["M", "AH0", "N", "T"]),
+                          ("ful", ["F", "AH0", "L"]),
+                          ("less", ["L", "AH0", "S"]),
+                          # happy/happier: the 'i' is the y-base's own
+                          # final IY0, so only the ending is appended
+                          ("ier", ["ER0"]),
+                          ("iest", ["AH0", "S", "T"]),
+                          ("er", ["ER0"]),               # bake/baker
+                          ("est", ["AH0", "S", "T"]),
+                          ("y", ["IY0"])):               # water/watery
+            if w.endswith(suf) and len(w) > len(suf) + 2:
+                stem = w[: -len(suf)]
+                if suf in ("ier", "iest"):
+                    stem += "y"
+                candidates = [stem]
+                if suf in ("er", "est", "y") and len(stem) > 2 \
+                        and stem[-1] == stem[-2]:
+                    candidates.append(stem[:-1])         # big/bigger
+                if suf in ("er", "est", "y"):
+                    candidates.append(stem + "e")        # bake/baker
+                for cand in candidates:
+                    base = self._lookup(cand)
+                    if base:
+                        return base + tail
         return None
 
     def __call__(self, word: str) -> List[str]:

@@ -5,7 +5,7 @@ examples/text_frontend/test_g2p.py:33-57, test_textnorm.py:31-51):
 linguistic rules are regression-tested as data with corpus-level
 WER/CER.  Thresholds sit slightly above the measured round-2 numbers
 (zh G2P syllable WER 0.0205, zh textnorm CER 0.0102, en G2P phone WER
-0.0050/0.0093 — see docs/frontend_accuracy.md) so regressions fail
+0.0043/0.0080 — see docs/frontend_accuracy.md) so regressions fail
 loudly without flaking.
 """
 import sys
