@@ -70,7 +70,7 @@ def _year_to_words(n: int) -> str:
     return number_to_words(n)
 
 
-_COMMA_NUMBER = re.compile(r"([0-9][0-9,]+[0-9])")
+_COMMA_NUMBER = re.compile(r"([0-9]{1,3}(?:,[0-9]{3})+)")
 _POUNDS = re.compile(r"£([0-9,]*[0-9]+)")
 _DOLLARS = re.compile(r"\$([0-9.,]*[0-9]+)")
 _DECIMAL = re.compile(r"([0-9]+\.[0-9]+)")
@@ -101,11 +101,14 @@ def _expand_decimal(m):
 
 
 def normalize_numbers(text: str) -> str:
-    text = _COMMA_NUMBER.sub(lambda m: m.group(1).replace(",", ""), text)
+    # money first (their regexes accept the commas), then comma-grouped
+    # numbers straight to cardinals: "1,234" is a quantity, never a year
     text = _POUNDS.sub(
         lambda m: number_to_words(int(m.group(1).replace(",", "")))
         + " pounds", text)
     text = _DOLLARS.sub(_expand_dollars, text)
+    text = _COMMA_NUMBER.sub(
+        lambda m: number_to_words(int(m.group(1).replace(",", ""))), text)
     text = _DECIMAL.sub(_expand_decimal, text)
     text = _ORDINAL.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
     text = _YEAR.sub(lambda m: _year_to_words(int(m.group(1))), text)

@@ -38,3 +38,35 @@ def test_en_g2p_corpus_wer():
     wer_stress, _ = corpus_wer(DEFAULT_DATA, stressed=True)
     assert wer_stress < 0.03, (
         f"en stressed g2p corpus phone WER regressed: {wer_stress:.4f}")
+
+
+def test_en_textnorm_corpus_wer():
+    from test_en_textnorm import DEFAULT_DATA, corpus_wer
+    wer_val, n = corpus_wer(DEFAULT_DATA)
+    assert n >= 45, f"labeled en textnorm set shrank: {n}"
+    assert wer_val < 0.01, (
+        f"en textnorm corpus WER regressed: {wer_val:.4f}")
+
+
+def test_en_normalizer_output_vocab_in_lexicon():
+    """Every word the en normalizer can emit (numbers, ordinals, money
+    units, expanded abbreviations) must resolve through the built-in
+    lexicon or morphology — never the letter-to-sound rules."""
+    from parakeet_tpu.frontend.arpabet import BuiltinLexiconG2P
+    from parakeet_tpu.frontend.normalizer.abbreviations import \
+        _ABBREVIATIONS
+    from parakeet_tpu.frontend.normalizer.numbers import (
+        number_to_words, ordinal_to_words)
+
+    words = set()
+    for n in list(range(0, 101)) + [123, 1234, 1000000, 2000000000]:
+        words.update(number_to_words(n).replace("-", " ").split())
+        words.update(ordinal_to_words(n).replace("-", " ").split())
+    words.update("minus point oh dollar dollars cent cents pound "
+                 "pounds".split())
+    for _, full in _ABBREVIATIONS:
+        words.update(full.split())
+    g = BuiltinLexiconG2P()
+    missing = sorted(w for w in words
+                     if not (g._lookup(w) or g._derive(w)))
+    assert not missing, f"normalizer emits rule-fallback words: {missing}"
