@@ -10,9 +10,11 @@ train/dev/test.  No durations — the model aligns via attention.
 Usage:
   python preprocess.py --rootdir ~/datasets/LJSpeech-1.1 \
       --dumpdir dump --config conf/default.yaml \
-      [--dev-size 100 --test-size 100]
+      [--dev-size 100 --test-size 100] [--num-cpu 8]
 """
 import argparse
+import functools
+from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -36,12 +38,38 @@ def build_phone_id_map(sentences, output_path):
     return {p: i for i, p in enumerate(tokens)}
 
 
+@functools.lru_cache(maxsize=4)
+def _extractor(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels):
+    """One mel extractor per worker process."""
+    return LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
+                       win_length=win_length, fmin=fmin, fmax=fmax,
+                       n_mels=n_mels)
+
+
+def process_utterance(utt, wav_path, phones, speaker, cfg, dumpdir):
+    mel_extractor = _extractor(cfg.fs, cfg.n_fft, cfg.n_shift,
+                               cfg.win_length, cfg.fmin, cfg.fmax,
+                               cfg.n_mels)
+    wav, _ = load_wav(wav_path, sr=cfg.fs)
+    mel = mel_extractor.get_log_mel_fbank(wav)
+    np.save(dumpdir / f"{utt}_speech.npy", mel.astype(np.float32))
+    return {
+        "utt_id": utt,
+        "phones": phones,
+        "text_lengths": len(phones),
+        "speech_lengths": int(mel.shape[0]),
+        "speech": str(dumpdir / f"{utt}_speech.npy"),
+        "speaker": speaker,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--rootdir", type=Path, required=True,
                         help="LJSpeech-1.1 root (metadata.csv + wavs/)")
     parser.add_argument("--dumpdir", type=Path, default=Path("dump"))
     parser.add_argument("--config", type=Path, required=True)
+    parser.add_argument("--num-cpu", type=int, default=1)
     parser.add_argument("--frontend", default="phone",
                         choices=("phone", "char"),
                         help="ARPABET phones (TransformerTTS) or raw "
@@ -54,11 +82,6 @@ def main():
     cfg = Config.from_yaml(args.config)
     frontend = (English() if args.frontend == "phone"
                 else EnglishCharacter())
-    mel_extractor = LogMelFBank(sr=cfg.fs, n_fft=cfg.n_fft,
-                                hop_length=cfg.n_shift,
-                                win_length=cfg.win_length,
-                                fmin=cfg.fmin, fmax=cfg.fmax,
-                                n_mels=cfg.n_mels)
     meta = LJSpeechMetaData(args.rootdir)
     sentences = {}
     wav_paths = {}
@@ -80,19 +103,15 @@ def main():
     args.dumpdir.mkdir(parents=True, exist_ok=True)
     build_phone_id_map(sentences, args.dumpdir / "phone_id_map.txt")
 
-    records = []
-    for utt, (phones, speaker) in sentences.items():
-        wav, _ = load_wav(wav_paths[utt], sr=cfg.fs)
-        mel = mel_extractor.get_log_mel_fbank(wav)
-        np.save(args.dumpdir / f"{utt}_speech.npy", mel.astype(np.float32))
-        records.append({
-            "utt_id": utt,
-            "phones": phones,
-            "text_lengths": len(phones),
-            "speech_lengths": int(mel.shape[0]),
-            "speech": str(args.dumpdir / f"{utt}_speech.npy"),
-            "speaker": speaker,
-        })
+    jobs = [(utt, wav_paths[utt], phones, speaker)
+            for utt, (phones, speaker) in sentences.items()]
+    if args.num_cpu > 1:
+        with ProcessPoolExecutor(args.num_cpu) as ex:
+            futures = [ex.submit(process_utterance, *j, cfg, args.dumpdir)
+                       for j in jobs]
+            records = [f.result() for f in futures]
+    else:
+        records = [process_utterance(*j, cfg, args.dumpdir) for j in jobs]
 
     n_dev, n_test = args.dev_size, args.test_size
     write_jsonl(args.dumpdir / "metadata_dev.jsonl", records[:n_dev])
