@@ -9,11 +9,14 @@ linear interpolation, log domain, duration-averaged tokens.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .spectrum import frame_signal, mel_filterbank, stft
 
-__all__ = ["LogMelFBank", "Pitch", "Energy", "average_by_duration"]
+__all__ = ["LogMelFBank", "Pitch", "Energy", "average_by_duration",
+           "cached_extractors"]
 
 
 class LogMelFBank:
@@ -289,3 +292,23 @@ class Energy:
         return energy.astype(np.float32)
 
     __call__ = get_energy
+
+
+@functools.lru_cache(maxsize=8)
+def cached_extractors(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels,
+                      f0min=None, f0max=None):
+    """(LogMelFBank, Pitch | None, Energy) memoized per parameter set.
+
+    Recipe preprocess CLIs fan out per-utterance jobs over a
+    ProcessPoolExecutor; this gives each worker process one extractor
+    set instead of rebuilding the mel filterbank per utterance.  Pitch
+    is built only when f0min/f0max are given.
+    """
+    mel = LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
+                      win_length=win_length, fmin=fmin, fmax=fmax,
+                      n_mels=n_mels)
+    pitch = (Pitch(sr=fs, hop_length=n_shift, f0min=f0min, f0max=f0max)
+             if f0min is not None else None)
+    energy = Energy(sr=fs, n_fft=n_fft, hop_length=n_shift,
+                    win_length=win_length)
+    return mel, pitch, energy

@@ -76,6 +76,9 @@ class LexiconG2P(G2PBackend):
         w = word.lower()
         if w in self.table:
             return list(self.table[w])
+        stripped = w.replace("'", "")
+        if stripped in self.table:
+            return list(self.table[stripped])
         return self.fallback(word)
 
 
@@ -112,7 +115,7 @@ class RuleG2P(G2PBackend):
     """Greedy longest-match letter-to-sound rules."""
 
     def __call__(self, word: str) -> List[str]:
-        w = word.lower()
+        w = word.lower().replace("'", "")
         # final silent 'e' (not the only vowel)
         if (len(w) > 2 and w.endswith("e") and not w.endswith("ee")
                 and any(ch in "aeiou" for ch in w[:-1])):
@@ -178,11 +181,11 @@ class BuiltinLexiconG2P(G2PBackend):
         return base + ["Z"]
 
     def _derive(self, w: str) -> Optional[List[str]]:
-        """Regular morphology over lexicon base forms."""
-        # plural / 3rd-person / possessive: -'s, -s', -s, -es, -ies
-        for suf, base_of in (("'s", lambda v: v[:-2]),
-                             ("s'", lambda v: v[:-1]),
-                             ("ies", lambda v: v[:-3] + "y"),
+        """Regular morphology over lexicon base forms.  ``w`` arrives
+        apostrophe-stripped, so possessives ("dog's", "dogs'") reduce to
+        the plain -s / -es branches."""
+        # plural / 3rd-person / possessive: -s, -es, -ies
+        for suf, base_of in (("ies", lambda v: v[:-3] + "y"),
                              ("es", lambda v: v[:-2]),
                              ("s", lambda v: v[:-1])):
             if w.endswith(suf) and len(w) > len(suf) + 1:
@@ -247,10 +250,11 @@ class BuiltinLexiconG2P(G2PBackend):
 
     def __call__(self, word: str) -> List[str]:
         w = word.lower()
-        phones = (self._lookup(w) or self._lookup(w.replace("'", ""))
-                  or self._derive(w))
+        stripped = w.replace("'", "")
+        phones = (self._lookup(w) or self._lookup(stripped)
+                  or self._derive(stripped))
         if phones is None:
-            phones = self.fallback(word)
+            phones = self.fallback(stripped)
         if self.strip_stress:
             phones = [re.sub(r"\d", "", p) for p in phones]
         return phones
@@ -267,13 +271,15 @@ class _G2pEnBackend(G2PBackend):
 
 
 def get_g2p(lexicon_path: Optional[str] = None) -> G2PBackend:
-    """Pick the best available backend (see module docstring)."""
-    if lexicon_path and os.path.exists(lexicon_path):
-        return LexiconG2P(lexicon_path)
+    """Pick the best available backend, chained per the module docstring:
+    user lexicon -> (g2p_en | builtin lexicon) -> letter-to-sound rules."""
     try:
-        return _G2pEnBackend()
+        oov_backend: G2PBackend = _G2pEnBackend()
     except Exception:
-        return BuiltinLexiconG2P()
+        oov_backend = BuiltinLexiconG2P()
+    if lexicon_path and os.path.exists(lexicon_path):
+        return LexiconG2P(lexicon_path, fallback=oov_backend)
+    return oov_backend
 
 
 class ARPABET:

@@ -70,7 +70,8 @@ def _year_to_words(n: int) -> str:
     return number_to_words(n)
 
 
-_COMMA_NUMBER = re.compile(r"([0-9]{1,3}(?:,[0-9]{3})+)")
+_COMMA_NUMBER = re.compile(
+    r"(?<![0-9])([0-9]{1,3}(?:,[0-9]{3})+(?:\.[0-9]+)?)(?![0-9])")
 _POUNDS = re.compile(r"£([0-9,]*[0-9]+)")
 _DOLLARS = re.compile(r"\$([0-9.,]*[0-9]+)")
 _DECIMAL = re.compile(r"([0-9]+\.[0-9]+)")
@@ -100,6 +101,15 @@ def _expand_decimal(m):
             + " ".join(number_to_words(int(d)) for d in frac))
 
 
+def _expand_comma_number(m):
+    s = m.group(1).replace(",", "")
+    if "." in s:
+        intpart, frac = s.split(".")
+        return (number_to_words(int(intpart)) + " point "
+                + " ".join(number_to_words(int(d)) for d in frac))
+    return number_to_words(int(s))
+
+
 def normalize_numbers(text: str) -> str:
     # money first (their regexes accept the commas), then comma-grouped
     # numbers straight to cardinals: "1,234" is a quantity, never a year
@@ -107,8 +117,7 @@ def normalize_numbers(text: str) -> str:
         lambda m: number_to_words(int(m.group(1).replace(",", "")))
         + " pounds", text)
     text = _DOLLARS.sub(_expand_dollars, text)
-    text = _COMMA_NUMBER.sub(
-        lambda m: number_to_words(int(m.group(1).replace(",", ""))), text)
+    text = _COMMA_NUMBER.sub(_expand_comma_number, text)
     text = _DECIMAL.sub(_expand_decimal, text)
     text = _ORDINAL.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
     text = _YEAR.sub(lambda m: _year_to_words(int(m.group(1))), text)

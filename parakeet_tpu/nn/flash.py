@@ -43,12 +43,17 @@ def flash_attention_available() -> bool:
         return False
 
 
-def _seq_block(t: int) -> int:
-    """Largest supported seq block size dividing ``t`` (t % 128 == 0)."""
+def _seq_block(t: int, cap: int = 512) -> int:
+    """Largest supported seq block size <= ``cap`` dividing ``t``
+    (t % 128 == 0).  The kernel requires block sizes that divide the
+    padded sequence length, so a user ``seq_block`` acts as a cap, not
+    a hard value."""
     for b in (512, 256, 128):
-        if t % b == 0:
+        if b <= cap and t % b == 0:
             return b
-    raise ValueError(f"padded length {t} not a multiple of 128")
+    raise ValueError(
+        f"no block size <= {cap} divides padded length {t} "
+        "(need seq_block in {128, 256, 512} and length % 128 == 0)")
 
 
 def _validity(mask, b, tq, tk, dtype=jnp.int32):
@@ -75,8 +80,9 @@ def _validity(mask, b, tq, tk, dtype=jnp.int32):
 def make_flash_attn_core(*, seq_block: int | None = None):
     """Build an ``attn_core`` running the Pallas TPU flash kernel.
 
-    ``seq_block``: force a sequence block size (128/256/512); default
-    picks the largest that divides the padded lengths.  Off-TPU the
+    ``seq_block``: cap the sequence block size (128/256/512); the kernel
+    needs blocks that divide the padded lengths, so the largest
+    divisor <= the cap is used.  Off-TPU the
     kernel runs in the Pallas interpreter (tests); on TPU it compiles
     to Mosaic.
     """
@@ -88,10 +94,9 @@ def make_flash_attn_core(*, seq_block: int | None = None):
         tk = k.shape[1]
         tq_p = -(-tq // 128) * 128
         tk_p = -(-tk // 128) * 128
-        bq = seq_block or _seq_block(tq_p)
-        bk = seq_block or _seq_block(tk_p)
-        bq = min(bq, tq_p)
-        bk = min(bk, tk_p)
+        cap = seq_block or 512
+        bq = _seq_block(tq_p, cap)
+        bk = _seq_block(tk_p, cap)
         blocks = fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,

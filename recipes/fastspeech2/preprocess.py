@@ -12,7 +12,6 @@ Usage:
       --dumpdir dump --config conf/default.yaml [--num-cpu 8]
 """
 import argparse
-import functools
 import sys
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
@@ -20,7 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from parakeet_tpu.audio.codec import load_wav
-from parakeet_tpu.audio.features import Energy, LogMelFBank, Pitch
+from parakeet_tpu.audio.features import cached_extractors
 from parakeet_tpu.data.datatable import write_jsonl
 from parakeet_tpu.data.preprocess import (build_phone_id_map,
                                           build_spk_id_map,
@@ -30,23 +29,10 @@ from parakeet_tpu.data.preprocess import (build_phone_id_map,
 from parakeet_tpu.training.config import Config
 
 
-@functools.lru_cache(maxsize=4)
-def _extractors(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels,
-                f0min, f0max):
-    """One extractor set per worker process (building the mel filterbank
-    per utterance is pure waste over a 10k-file corpus)."""
-    return (LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
-                        win_length=win_length, fmin=fmin, fmax=fmax,
-                        n_mels=n_mels),
-            Pitch(sr=fs, hop_length=n_shift, f0min=f0min, f0max=f0max),
-            Energy(sr=fs, n_fft=n_fft, hop_length=n_shift,
-                   win_length=win_length))
-
-
 def process_utterance(utt, wav_path, phones, durations, speaker, cfg,
                       dumpdir):
     wav, _ = load_wav(wav_path, sr=cfg.fs)
-    mel_extractor, pitch_extractor, energy_extractor = _extractors(
+    mel_extractor, pitch_extractor, energy_extractor = cached_extractors(
         cfg.fs, cfg.n_fft, cfg.n_shift, cfg.win_length, cfg.fmin,
         cfg.fmax, cfg.n_mels, cfg.f0min, cfg.f0max)
     mel = mel_extractor.get_log_mel_fbank(wav)          # (T, n_mels)

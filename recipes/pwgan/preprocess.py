@@ -16,34 +16,24 @@ Usage:
       [--dev-size 100] [--num-cpu 8]
 """
 import argparse
-import functools
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np
 
 from parakeet_tpu.audio.codec import load_wav
-from parakeet_tpu.audio.features import LogMelFBank
+from parakeet_tpu.audio.features import cached_extractors
 from parakeet_tpu.data.datatable import write_jsonl
 from parakeet_tpu.data.preprocess import (cut_silence, merge_silence,
                                           read_duration_file)
 from parakeet_tpu.training.config import Config
 
 
-@functools.lru_cache(maxsize=4)
-def _extractor(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels):
-    """One mel extractor per worker process (the filterbank build is pure
-    waste per-utterance over a 10k-file corpus)."""
-    return LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
-                       win_length=win_length, fmin=fmin, fmax=fmax,
-                       n_mels=n_mels)
-
-
 def process_utterance(utt, wav_path, sent, cfg, dumpdir):
     """sent = (phones, durations) to cut silence with, or None."""
-    mel_extractor = _extractor(cfg.fs, cfg.n_fft, cfg.n_shift,
-                               cfg.win_length, cfg.fmin, cfg.fmax,
-                               cfg.n_mels)
+    mel_extractor, _, _ = cached_extractors(
+        cfg.fs, cfg.n_fft, cfg.n_shift, cfg.win_length, cfg.fmin,
+        cfg.fmax, cfg.n_mels)
     wav, _ = load_wav(wav_path, sr=cfg.fs)
     if wav.ndim != 1 or np.abs(wav).max() > 1.0:
         return ("skipping %s: %s (reference asserts 16-bit PCM range, "

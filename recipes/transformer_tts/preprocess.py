@@ -13,14 +13,13 @@ Usage:
       [--dev-size 100 --test-size 100] [--num-cpu 8]
 """
 import argparse
-import functools
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np
 
 from parakeet_tpu.audio.codec import load_wav
-from parakeet_tpu.audio.features import LogMelFBank
+from parakeet_tpu.audio.features import cached_extractors
 from parakeet_tpu.data.datasets import LJSpeechMetaData
 from parakeet_tpu.data.datatable import write_jsonl
 from parakeet_tpu.frontend import English, EnglishCharacter
@@ -38,18 +37,10 @@ def build_phone_id_map(sentences, output_path):
     return {p: i for i, p in enumerate(tokens)}
 
 
-@functools.lru_cache(maxsize=4)
-def _extractor(fs, n_fft, n_shift, win_length, fmin, fmax, n_mels):
-    """One mel extractor per worker process."""
-    return LogMelFBank(sr=fs, n_fft=n_fft, hop_length=n_shift,
-                       win_length=win_length, fmin=fmin, fmax=fmax,
-                       n_mels=n_mels)
-
-
 def process_utterance(utt, wav_path, phones, speaker, cfg, dumpdir):
-    mel_extractor = _extractor(cfg.fs, cfg.n_fft, cfg.n_shift,
-                               cfg.win_length, cfg.fmin, cfg.fmax,
-                               cfg.n_mels)
+    mel_extractor, _, _ = cached_extractors(
+        cfg.fs, cfg.n_fft, cfg.n_shift, cfg.win_length, cfg.fmin,
+        cfg.fmax, cfg.n_mels)
     wav, _ = load_wav(wav_path, sr=cfg.fs)
     mel = mel_extractor.get_log_mel_fbank(wav)
     np.save(dumpdir / f"{utt}_speech.npy", mel.astype(np.float32))
