@@ -90,6 +90,7 @@ def main():
                       "batch_size": b,
                       "value": round(b / avg_batch_cost, 3),
                       "unit": "sequences/sec",
+                      "dtype": args.dtype,
                       "attn_impl": args.attn_impl,
                       **mfu_stats(flops, avg_batch_cost, args.dtype)}))
 
