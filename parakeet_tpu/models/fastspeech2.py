@@ -107,6 +107,11 @@ class FastSpeech2(nn.Module):
     # Pallas online-softmax kernel, nn/flash.py — scores stay in VMEM;
     # requires transformer_*_attn_dropout_rate == 0 for training)
     attn_impl: str = "dense"
+    # optional pipeline-parallel runner for the encoder/decoder stacks
+    # (parallel/pipeline.py make_pp_layer_runner; recipe flag --pp N).
+    # Changes the transformer param layout to depth-stacked 'layers' —
+    # convert with parallel.stack_layer_params / unstack_layer_params.
+    layer_runner: Optional[Callable] = None
 
     def setup(self):
         if self.attn_impl == "flash":
@@ -131,7 +136,8 @@ class FastSpeech2(nn.Module):
             positionwise_layer_type=self.positionwise_layer_type,
             positionwise_conv_kernel_size=(
                 self.positionwise_conv_kernel_size),
-            dtype=self.dtype, attn_core=flash_core)
+            dtype=self.dtype, attn_core=flash_core,
+            layer_runner=self.layer_runner)
         self.decoder = TransformerEncoder(
             d_model=self.adim, n_heads=self.aheads, units=self.dunits,
             num_layers=self.dlayers, input_layer=None,
@@ -147,7 +153,8 @@ class FastSpeech2(nn.Module):
             positionwise_conv_kernel_size=(
                 self.positionwise_conv_kernel_size),
             dtype=self.dtype,
-            attn_core=self.decoder_attn_core or flash_core)
+            attn_core=self.decoder_attn_core or flash_core,
+            layer_runner=self.layer_runner)
         self.duration_predictor = DurationPredictor(
             n_layers=self.duration_predictor_layers,
             n_chans=self.duration_predictor_chans,

@@ -274,6 +274,16 @@ class TransformerEncoder(nn.Module):
     padding_idx: int = 0
     dtype: jnp.dtype = jnp.float32
     attn_core: Optional[Callable] = None
+    # optional replacement for the serial layer loop — e.g. the
+    # pipeline-parallel runner (parallel/pipeline.py
+    # make_pp_layer_runner).  When set, the L layers' params are
+    # declared depth-STACKED under one 'layers' collection (leading dim
+    # L on every leaf; convert a standard checkpoint with
+    # parallel.stack_layer_params) and the runner computes the stack:
+    # runner(layer_module, stacked_params, x, mask, deterministic,
+    # dropout_key) -> x.  Per-layer attention weights are unavailable
+    # on this path (attn_stack returns None).
+    layer_runner: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, xs, mask=None, *, deterministic: bool = True):
@@ -295,23 +305,50 @@ class TransformerEncoder(nn.Module):
             dtype=self.dtype,
             name="pos_enc")(x, deterministic=deterministic)
 
-        attns = []
-        for i in range(self.num_layers):
-            x, attn = EncoderLayer(
-                self.d_model, self.n_heads, self.units,
-                self.dropout_rate, self.attn_dropout_rate,
-                self.normalize_before, self.concat_after,
-                self.positionwise_layer_type,
-                self.positionwise_conv_kernel_size,
-                dtype=self.dtype, attn_core=self.attn_core,
-                name=f"layer_{i}")(
-                    x, mask, deterministic=deterministic)
-            attns.append(attn)
+        if self.layer_runner is not None:
+            x = self._run_pipelined(x, mask, deterministic)
+            attn_stack = None
+        else:
+            attns = []
+            for i in range(self.num_layers):
+                x, attn = EncoderLayer(
+                    self.d_model, self.n_heads, self.units,
+                    self.dropout_rate, self.attn_dropout_rate,
+                    self.normalize_before, self.concat_after,
+                    self.positionwise_layer_type,
+                    self.positionwise_conv_kernel_size,
+                    dtype=self.dtype, attn_core=self.attn_core,
+                    name=f"layer_{i}")(
+                        x, mask, deterministic=deterministic)
+                attns.append(attn)
+            # attn weights unavailable when a custom attn_core is in use
+            attn_stack = None if attns[0] is None else jnp.stack(attns)
         if self.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
-        # attn weights are unavailable when a custom attn_core is in use
-        attn_stack = None if attns[0] is None else jnp.stack(attns)
         return x, attn_stack
+
+    def _run_pipelined(self, x, mask, deterministic):
+        """layer_runner path: depth-stacked layer params, runner owns
+        the loop (see the ``layer_runner`` field comment)."""
+        layer = EncoderLayer(
+            self.d_model, self.n_heads, self.units, self.dropout_rate,
+            self.attn_dropout_rate, self.normalize_before,
+            self.concat_after, self.positionwise_layer_type,
+            self.positionwise_conv_kernel_size, dtype=self.dtype,
+            attn_core=self.attn_core, parent=None)   # unbound template
+
+        def init_stack(rng):
+            dummy = jnp.zeros((1, 4, self.d_model), jnp.float32)
+            keys = jax.random.split(rng, self.num_layers)
+            return jax.vmap(
+                lambda k: layer.init(k, dummy)["params"])(keys)
+
+        stacked = self.param("layers", init_stack)
+        key = (self.make_rng("dropout")
+               if not deterministic and self.has_rng("dropout") else None)
+        return self.layer_runner(layer, stacked, x, mask,
+                                 deterministic=deterministic,
+                                 dropout_key=key)
 
 
 class DecoderLayer(nn.Module):

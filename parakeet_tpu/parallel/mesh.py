@@ -21,7 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
            "rank_zero_only", "process_index", "local_batch_slice",
-           "fs2_tp_spec", "transformer_tp_spec", "shard_params_by_rule"]
+           "fs2_tp_spec", "transformer_tp_spec", "shard_params_by_rule",
+           "pp_stack_spec"]
 
 
 def make_mesh(data: int = -1, model: int = 1,
@@ -125,6 +126,20 @@ def transformer_tp_spec(path: str, leaf) -> P:
 
 # FastSpeech2's params are a subset of the generic transformer layout
 fs2_tp_spec = transformer_tp_spec
+
+
+# ---- pipeline parallelism ----------------------------------------------
+
+def pp_stack_spec(path: str, leaf) -> P:
+    """PartitionSpec for pipeline-parallel training state: the
+    depth-stacked transformer layer params (and their optimizer
+    moments — same path suffix) shard their leading L dim over the
+    'model' axis, matching the pipeline runner's shard_map in_specs so
+    no resharding happens at the stage boundary each step.  Everything
+    else replicates."""
+    if "/layers/" in path:
+        return P("model")
+    return P()
 
 
 def shard_params_by_rule(params, mesh: Mesh, rule) -> dict:

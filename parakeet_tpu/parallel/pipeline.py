@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-__all__ = ["pipeline_layers", "pipelined_layers"]
+__all__ = ["pipeline_layers", "pipelined_layers", "make_pp_layer_runner",
+           "stack_layer_params", "unstack_layer_params"]
 
 
 def pipeline_layers(layer_fn: Callable, stacked_params, x, *,
@@ -118,6 +119,112 @@ def pipeline_layers(layer_fn: Callable, stacked_params, x, *,
                 jnp.where(sid == s - 1, a, jnp.zeros_like(a)), axis_name),
             out)
     return out
+
+
+def stack_layer_params(params, num_layers: int, prefix: str = "layer_",
+                       name: str = "layers"):
+    """Convert a per-layer param dict (``layer_0`` .. ``layer_{n-1}``
+    subtrees, the standard TransformerEncoder layout) into the
+    depth-stacked layout the PP runner consumes (one ``layers`` subtree,
+    every leaf gaining a leading L dim).  Other keys pass through."""
+    out = {k: v for k, v in params.items() if not k.startswith(prefix)}
+    layers = [params[f"{prefix}{i}"] for i in range(num_layers)]
+    out[name] = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *layers)
+    return out
+
+
+def unstack_layer_params(params, prefix: str = "layer_",
+                         name: str = "layers"):
+    """Inverse of :func:`stack_layer_params` (for converting a
+    PP-trained snapshot back to the standard layout every synthesize
+    CLI and checkpoint converter understands)."""
+    out = {k: v for k, v in params.items() if k != name}
+    stacked = params[name]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"{prefix}{i}"] = jax.tree_util.tree_map(
+            lambda leaf: leaf[i], stacked)
+    return out
+
+
+def make_pp_layer_runner(mesh: Mesh, axis: str = "model", *,
+                         n_microbatches: int = 4,
+                         data_axis: str = "data") -> Callable:
+    """Build a ``layer_runner`` for ``nn.transformer.TransformerEncoder``:
+    the encoder's homogeneous layer stack streams through
+    :func:`pipeline_layers` stages over ``mesh[axis]`` instead of running
+    as a serial python loop.
+
+    The runner signature (what TransformerEncoder calls):
+    ``runner(layer_module, stacked_params, x, mask, deterministic,
+    dropout_key) -> x`` where ``stacked_params`` is the encoder's
+    depth-stacked layer params (leading dim L on every leaf).
+
+    Composes with data parallelism on the same mesh: the batch dim of
+    ``x``/``mask`` is sharded over ``data_axis`` (when present in the
+    mesh with size > 1), the depth dim over ``axis`` — one shard_map,
+    so a ``--dp 2 --pp 4`` recipe run keeps DP batch sharding intact
+    inside the pipelined stacks.
+
+    Dropout: flax threads one 'dropout' rng through a serial layer
+    loop; inside the pipeline each (layer, microbatch) derives its key
+    as ``fold_in(fold_in(base, microbatch), layer_index)`` — same
+    statistics, different stream, so loss-parity tests against the
+    serial stack must run with dropout 0 (training-parity is asserted
+    that way in tests/test_tp_pp_recipes.py).
+    """
+
+    def runner(layer_module, stacked_params, x, mask, *,
+               deterministic: bool, dropout_key=None):
+        leading = [leaf.shape[0]
+                   for leaf in jax.tree_util.tree_leaves(stacked_params)]
+        n_layers = leading[0]
+        size = mesh.shape[axis]
+        if n_layers % size:
+            raise ValueError(f"{n_layers} layers not divisible by "
+                             f"{size}-stage pipe axis {axis!r}")
+        b = x.shape[0]
+        m = n_microbatches
+        dsize = (mesh.shape[data_axis] if data_axis in mesh.shape else 1)
+        # pad the batch up to a multiple of (microbatches x data shards)
+        # so small eval batches pipeline too; padded rows are zeros with
+        # an all-True mask (finite garbage, sliced off below)
+        quantum = m * dsize
+        b_pad = -(-b // quantum) * quantum
+        pad = b_pad - b
+        x_in = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        state = {"h": x_in}
+        if mask is not None:
+            state["mask"] = jnp.pad(
+                mask, ((0, pad),) + ((0, 0),) * (mask.ndim - 1),
+                constant_values=True)
+        if not deterministic and dropout_key is not None:
+            mb_ids = jnp.arange(b_pad) // max(b_pad // m, 1)
+            state["key"] = jax.vmap(
+                lambda i: jax.random.fold_in(dropout_key, i))(mb_ids)
+        sp = {"params": stacked_params, "idx": jnp.arange(n_layers)}
+
+        def layer_fn(p, s):
+            rngs = None
+            if "key" in s:
+                rngs = {"dropout": jax.random.fold_in(s["key"][0],
+                                                      p["idx"])}
+            h, _ = layer_module.apply(
+                {"params": p["params"]}, s["h"], s.get("mask"),
+                deterministic=deterministic, rngs=rngs)
+            return {**s, "h": h}
+
+        dspec = data_axis if (data_axis in mesh.shape
+                              and mesh.shape[data_axis] > 1) else None
+        fn = partial(pipeline_layers, layer_fn, axis_name=axis,
+                     n_microbatches=m)
+        out = jax.shard_map(fn, mesh=mesh,
+                            in_specs=(P(axis), P(dspec)),
+                            out_specs=P(dspec))(sp, state)
+        return out["h"][:b]
+
+    return runner
 
 
 def pipelined_layers(layer_fn: Callable, stacked_params, x, mesh: Mesh,

@@ -71,14 +71,27 @@ class StandardUpdater(UpdaterBase):
         its leading axis — the wrap-free data-parallel surface replacing
         the reference's paddle.DataParallel + DistributedBatchSampler
         (SURVEY §2.9); XLA inserts the gradient all-reduce over ICI.
+    param_spec_rule : optional ``(path, leaf) -> PartitionSpec`` rule
+        (e.g. ``parallel.mesh.transformer_tp_spec``).  When given with a
+        mesh, every train-state leaf is placed by the rule instead of
+        replicated — tensor parallelism over the mesh's 'model' axis
+        (optimizer moments inherit their param's spec because their
+        tree paths end with the same param path).  The recipe surface
+        is ``train.py --tp N`` (mesh data x model); XLA/GSPMD inserts
+        the row-contraction all-reduces.
     """
 
     def __init__(self, step_fn: Callable, train_state: TrainState,
-                 dataloader, reports_prefix: str = "train/", mesh=None):
+                 dataloader, reports_prefix: str = "train/", mesh=None,
+                 param_spec_rule=None):
         super().__init__()
         self.step_fn = step_fn
         self.mesh = mesh
-        if mesh is not None:
+        if mesh is not None and param_spec_rule is not None:
+            from ..parallel.mesh import shard_params_by_rule
+            train_state = shard_params_by_rule(train_state, mesh,
+                                               param_spec_rule)
+        elif mesh is not None:
             from ..parallel.mesh import replicate
             train_state = replicate(train_state, mesh)
         self.train_state = train_state

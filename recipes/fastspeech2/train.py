@@ -65,7 +65,26 @@ def main():
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel devices (0 = single device; "
                              "batch_size must be divisible by this)")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel devices: attention heads "
+                             "and FFN hidden dims shard over a 'model' "
+                             "mesh axis (composes with --dp as a "
+                             "dp x tp mesh)")
+    parser.add_argument("--pp", type=int, default=0,
+                        help="pipeline-parallel stages: the encoder/"
+                             "decoder layer stacks stream microbatches "
+                             "through pp stages on the 'model' axis "
+                             "(composes with --dp; mutually exclusive "
+                             "with --tp; elayers/dlayers must be "
+                             "divisible by pp)")
+    parser.add_argument("--pp-microbatches", type=int, default=0,
+                        help="microbatches per pipeline step (default: "
+                             "pp stages; batch_size/dp must be "
+                             "divisible by this)")
     args = parser.parse_args()
+    if args.tp and args.pp:
+        parser.error("--tp and --pp are mutually exclusive (both use "
+                     "the 'model' mesh axis)")
     set_device(args.device)
     maybe_initialize_multihost()
 
@@ -101,15 +120,41 @@ def main():
         state = state.replace(params=initialize_pytree(
             state.params, jax.random.PRNGKey(cfg.get("seed", 0) + 1),
             init_type))
+
+    mesh, spec_rule = None, None
+    if args.dp or args.tp or args.pp:
+        from parakeet_tpu.parallel import make_mesh
+        mesh = make_mesh(data=args.dp or 1,
+                         model=args.tp or args.pp or 1)
+    if args.tp:
+        from parakeet_tpu.parallel import fs2_tp_spec
+        spec_rule = fs2_tp_spec
+    if args.pp:
+        # init stays the standard per-layer layout (identical numbers
+        # to a non-PP run); convert the transformer stacks to the
+        # depth-stacked layout the pipeline runner consumes and rebuild
+        # the model/optimizer around it
+        from parakeet_tpu.parallel import (make_pp_layer_runner,
+                                           pp_stack_spec,
+                                           stack_layer_params)
+        spec_rule = pp_stack_spec
+        runner = make_pp_layer_runner(
+            mesh, "model",
+            n_microbatches=args.pp_microbatches or args.pp)
+        model = model.clone(layer_runner=runner)
+        params = dict(state.params)
+        for stack in ("encoder", "decoder"):
+            params[stack] = stack_layer_params(
+                params[stack], model.elayers if stack == "encoder"
+                else model.dlayers)
+        state = state.replace(params=params, opt_state=tx.init(params))
+
     train_step = make_fs2_train_step(model, tx,
                                      **cfg.get("updater", {}))
     eval_step = make_fs2_eval_step(model, **cfg.get("updater", {}))
 
-    mesh = None
-    if args.dp:
-        from parakeet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(data=args.dp)
-    updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
+    updater = StandardUpdater(train_step, state, train_dl, mesh=mesh,
+                              param_spec_rule=spec_rule)
     trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
                       out=args.output_dir,
                       profiler_options=args.profiler_options,

@@ -51,6 +51,11 @@ def main():
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel devices (0 = single device; "
                              "batch_size must be divisible by this)")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel devices: attention heads "
+                             "and FFN hidden dims shard over a 'model' "
+                             "mesh axis (composes with --dp as a "
+                             "dp x tp mesh)")
     args = parser.parse_args()
     set_device(args.device)
     maybe_initialize_multihost()
@@ -81,11 +86,15 @@ def main():
     train_step = make_transformer_tts_train_step(model, tx, **upd)
     eval_step = make_transformer_tts_eval_step(model, **upd)
 
-    mesh = None
-    if args.dp:
+    mesh, spec_rule = None, None
+    if args.dp or args.tp:
         from parakeet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(data=args.dp)
-    updater = StandardUpdater(train_step, state, train_dl, mesh=mesh)
+        mesh = make_mesh(data=args.dp or 1, model=args.tp or 1)
+    if args.tp:
+        from parakeet_tpu.parallel.mesh import transformer_tp_spec
+        spec_rule = transformer_tp_spec
+    updater = StandardUpdater(train_step, state, train_dl, mesh=mesh,
+                              param_spec_rule=spec_rule)
     trainer = Trainer(updater, (cfg.max_epoch, "epoch"),
                       out=args.output_dir,
                       profiler_options=args.profiler_options,

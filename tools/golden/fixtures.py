@@ -275,3 +275,36 @@ def transformer_tts_state(seed=23):
         b.conv(f"postnet.postnet.{i}.0", oc, ic, 3, bias=False)
         b.bn(f"postnet.postnet.{i}.1", oc)
     return b.state, cfg
+
+
+def ge2e_state(seed=29):
+    """Paddle-layout LSTMSpeakerEncoder state dict (reference:
+    parakeet/models/lstm_speaker_encoder.py:24-33: nn.LSTM num_layers
+    deep, weight_ih_l{k} (4H, in) / weight_hh_l{k} (4H, H) /
+    bias_ih+bias_hh, gate order i,f,c,o; Linear (in, out);
+    similarity_weight/bias scalars)."""
+    cfg = dict(n_mels=8, num_layers=3, hidden_size=12, output_size=10)
+    rng = np.random.default_rng(seed)
+    state = {}
+    h = cfg["hidden_size"]
+    for la in range(cfg["num_layers"]):
+        cin = cfg["n_mels"] if la == 0 else h
+        state[f"lstm.weight_ih_l{la}"] = (
+            rng.standard_normal((4 * h, cin)) / np.sqrt(cin)
+        ).astype(np.float32)
+        state[f"lstm.weight_hh_l{la}"] = (
+            rng.standard_normal((4 * h, h)) / np.sqrt(h)
+        ).astype(np.float32)
+        state[f"lstm.bias_ih_l{la}"] = (
+            0.1 * rng.standard_normal((4 * h,))).astype(np.float32)
+        state[f"lstm.bias_hh_l{la}"] = (
+            0.1 * rng.standard_normal((4 * h,))).astype(np.float32)
+    state["linear.weight"] = (
+        rng.standard_normal((h, cfg["output_size"])) / np.sqrt(h)
+    ).astype(np.float32)
+    state["linear.bias"] = (
+        0.1 * rng.standard_normal((cfg["output_size"],))
+    ).astype(np.float32)
+    state["similarity_weight"] = np.full((1,), 10.0, np.float32)
+    state["similarity_bias"] = np.full((1,), -5.0, np.float32)
+    return state, cfg

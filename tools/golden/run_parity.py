@@ -259,6 +259,38 @@ def check_transformer_tts():
             for k in ("before_outs", "after_outs", "stop_logits")}
 
 
+def check_ge2e():
+    from parakeet_tpu.models.lstm_speaker_encoder import (
+        LSTMSpeakerEncoder, ge2e_loss)
+    from parakeet_tpu.utils.convert import convert_ge2e
+    from tools.golden.fixtures import ge2e_state
+    from tools.golden.ge2e import golden_ge2e_forward
+
+    state, cfg = ge2e_state()
+    params = convert_ge2e(state, num_layers=cfg["num_layers"])
+    model = LSTMSpeakerEncoder(n_mels=cfg["n_mels"],
+                               num_layers=cfg["num_layers"],
+                               hidden_size=cfg["hidden_size"],
+                               output_size=cfg["output_size"])
+    rng = np.random.default_rng(0)
+    n, m, t = 4, 5, 16
+    utts = rng.standard_normal((n * m, t, cfg["n_mels"])).astype(
+        np.float32)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    embeds, (w, b) = model.apply(variables, jnp.asarray(utts),
+                                 n_speakers=n,
+                                 method=LSTMSpeakerEncoder.embed_sequences)
+    loss, aux = ge2e_loss(embeds, w, b)
+    gold = golden_ge2e_forward(state, utts, n,
+                               num_layers=cfg["num_layers"])
+    ours = {
+        "embeds": embeds.reshape(n * m, -1),
+        "sim": aux["sim"].reshape(n * m, n),
+        "loss": jnp.asarray(loss).reshape(1),
+    }
+    return {k: _metrics(ours[k], gold[k]) for k in ours}
+
+
 CHECKS = {
     "fastspeech2": check_fastspeech2,
     "parallel_wavegan": check_pwg,
@@ -266,6 +298,7 @@ CHECKS = {
     "transformer_tts": check_transformer_tts,
     "speedyspeech": check_speedyspeech,
     "waveflow": check_waveflow,
+    "ge2e": check_ge2e,
 }
 
 
