@@ -25,6 +25,8 @@ run python benchmarks/train_fastspeech2.py --iters 20 --dtype bfloat16 --attn-im
 run python benchmarks/train_pwgan.py --iters 20
 run python benchmarks/train_pwgan.py --iters 20 --dtype bfloat16
 run python benchmarks/train_pwgan.py --iters 20 --stack-impl pallas
+run python benchmarks/flash_sweep.py --iters 10
+run python benchmarks/longform_rtf.py --iters 5
 
 echo "report written to $out" >&2
 cat "$out"

@@ -24,7 +24,7 @@ def main():
     parser.add_argument("--dtype", default="float32",
                         help="compute dtype (float32 | bfloat16)")
     parser.add_argument("--attn-impl", default="dense",
-                        choices=("dense", "flash"),
+                        choices=("dense", "flash", "auto"),
                         help="attention core; 'flash' fuses softmax in "
                              "VMEM (nn/flash.py) and skips attention-"
                              "weight dropout, so the attn dropout rates "
@@ -40,11 +40,10 @@ def main():
     b, t, frames, odim = (args.batch_size, args.text_len, args.frames, 80)
     from parakeet_tpu.training.config import resolve_model_kwargs
     dtype = resolve_model_kwargs({"dtype": args.dtype})["dtype"]
-    attn_kwargs = {}
-    if args.attn_impl == "flash":
-        attn_kwargs = {"attn_impl": "flash",
-                       "transformer_enc_attn_dropout_rate": 0.0,
-                       "transformer_dec_attn_dropout_rate": 0.0}
+    attn_kwargs = {"attn_impl": args.attn_impl}
+    if args.attn_impl in ("flash", "auto"):
+        attn_kwargs.update(transformer_enc_attn_dropout_rate=0.0,
+                           transformer_dec_attn_dropout_rate=0.0)
     model = FastSpeech2(idim=80, odim=odim, adim=384, aheads=4, elayers=4,
                         eunits=1536, dlayers=4, dunits=1536, dtype=dtype,
                         **attn_kwargs)
@@ -71,7 +70,7 @@ def main():
     # AOT-compile once; reuse the executable (avoids a second compile)
     step = step.lower(state, batch).compile()
     flops = compiled_flops(step)
-    if args.attn_impl == "flash":
+    if args.attn_impl in ("flash", "auto"):
         # the flash kernel is a custom call (0 FLOPs to XLA's cost
         # model); take the denominator from the dense lowering of the
         # same program, as the pwgan bench does for its fused stack

@@ -102,11 +102,15 @@ class FastSpeech2(nn.Module):
     # sequence-parallel ring attention for long-form synthesis
     # (parallel/ring_attention.py); (q, k, v, mask) -> (B, T, H, dk)
     decoder_attn_core: Optional[Callable] = None
-    # attention implementation: "dense" (softmax scores in HBM; supports
-    # attention-weight dropout and alignment plots) or "flash" (fused
-    # Pallas online-softmax kernel, nn/flash.py — scores stay in VMEM;
-    # requires transformer_*_attn_dropout_rate == 0 for training)
-    attn_impl: str = "dense"
+    # attention implementation: "auto" (default — flash above the
+    # measured T>=1024 crossover, dense below / with attention dropout
+    # / with KV caches: never loses to either fixed choice,
+    # docs/tpu_performance.md), "dense" (softmax scores in HBM;
+    # supports attention-weight dropout and alignment plots), or
+    # "flash" (always the fused Pallas online-softmax kernel,
+    # nn/flash.py — scores stay in VMEM; requires
+    # transformer_*_attn_dropout_rate == 0 for training)
+    attn_impl: str = "auto"
     # optional pipeline-parallel runner for the encoder/decoder stacks
     # (parallel/pipeline.py make_pp_layer_runner; recipe flag --pp N).
     # Changes the transformer param layout to depth-stacked 'layers' —
@@ -117,6 +121,9 @@ class FastSpeech2(nn.Module):
         if self.attn_impl == "flash":
             from ..nn.flash import make_flash_attn_core
             flash_core = make_flash_attn_core()
+        elif self.attn_impl == "auto":
+            from ..nn.flash import make_auto_attn_core
+            flash_core = make_auto_attn_core()
         elif self.attn_impl == "dense":
             flash_core = None
         else:

@@ -32,7 +32,15 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_flash_attn_core", "flash_attention_available"]
+__all__ = ["make_flash_attn_core", "make_auto_attn_core",
+           "flash_attention_available"]
+
+# Measured crossover on the TPU v5e (benchmarks/flash_sweep.py, fp32
+# FastSpeech2 train steps at constant tokens): dense wins at T=512
+# (flash 0.90x), flash wins from T=1024 up (1.15x at 1024, 1.38x at
+# 2048, 1.66x at 4096; at 8192 dense OOMs while flash runs).  1024 is
+# the first measured-win point, so 'auto' switches there.
+AUTO_FLASH_MIN_T = 1024
 
 
 def flash_attention_available() -> bool:
@@ -124,6 +132,30 @@ def make_flash_attn_core(*, seq_block: int | None = None):
             _enable_cpu_interpret(pltpu)
         return core(q, k, v, mask)
 
+    return dispatch
+
+
+def make_auto_attn_core(*, threshold: int = AUTO_FLASH_MIN_T,
+                        seq_block: int | None = None):
+    """Crossover-aware ``attn_core``: flash above ``threshold`` (both
+    sequence lengths — the measured win regime), dense below (returns
+    None, which MultiHeadAttention treats as "use the dense path").
+
+    The returned core sets ``dense_fallback = True`` so
+    MultiHeadAttention falls back to dense — instead of raising — for
+    the configurations a custom core cannot serve (KV-cached decode,
+    training with attention-weight dropout).  Net effect: ``attn_impl:
+    'auto'`` never loses to either fixed choice at any reachable
+    configuration (docs/tpu_performance.md crossover table).
+    """
+    flash = make_flash_attn_core(seq_block=seq_block)
+
+    def dispatch(q, k, v, mask=None):
+        if q.shape[1] < threshold or k.shape[1] < threshold:
+            return None
+        return flash(q, k, v, mask)
+
+    dispatch.dense_fallback = True
     return dispatch
 
 

@@ -96,19 +96,29 @@ class MultiHeadAttention(nn.Module):
         k = dense("k")(key)
         v = dense("v")(value)
         if self.attn_core is not None:
+            # cores built by make_auto_attn_core fall back to the dense
+            # path (instead of raising) for configurations no custom
+            # core serves, and return None below their win threshold
+            auto = getattr(self.attn_core, "dense_fallback", False)
             if cache is not None:
-                raise ValueError("attn_core does not support KV caches")
-            if self.dropout_rate > 0.0 and not deterministic:
-                raise ValueError(
-                    "attn_core skips attention dropout; training with "
-                    f"dropout_rate={self.dropout_rate} and a custom core "
-                    "would silently lose regularization (set the rate to "
-                    "0 or train with the dense path)")
-            out = self.attn_core(q, k, v, mask)
-            out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
-                                  dtype=self.dtype, name="out")(
-                out.astype(self.dtype))
-            return out, None, None
+                if not auto:
+                    raise ValueError(
+                        "attn_core does not support KV caches")
+            elif self.dropout_rate > 0.0 and not deterministic:
+                if not auto:
+                    raise ValueError(
+                        "attn_core skips attention dropout; training "
+                        f"with dropout_rate={self.dropout_rate} and a "
+                        "custom core would silently lose regularization "
+                        "(set the rate to 0 or train with the dense "
+                        "path)")
+            else:
+                out = self.attn_core(q, k, v, mask)
+                if out is not None:
+                    out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                          dtype=self.dtype, name="out")(
+                        out.astype(self.dtype))
+                    return out, None, None
         new_cache = None
         if cache is not None:
             if "index" in cache:

@@ -28,6 +28,7 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["load_paddle_state", "convert_pwg_generator",
+           "convert_pwg_discriminator",
            "convert_fastspeech2", "convert_waveflow", "convert_ge2e",
            "convert_speedyspeech", "convert_tacotron2",
            "convert_transformer_tts"]
@@ -53,6 +54,25 @@ def _wn_conv1d(state, prefix, bias=True):
     if bias:
         out["bias"] = state[f"{prefix}.bias"].astype(np.float32)
     return out
+
+
+def convert_pwg_discriminator(state: Dict[str, np.ndarray],
+                              layers: int = 10) -> Dict[str, dict]:
+    """Paddle PWGDiscriminator state dict -> parakeet_tpu params pytree
+    (drop-in for ``PWGDiscriminator(...).init(...)['params']``).
+
+    The paddle module is one nn.Sequential of [conv, act] pairs plus a
+    final conv (reference: parallel_wavegan.py:554-598), so the convs
+    sit at even indices 0, 2, ..., 2*(layers-1).  Needed to resume GAN
+    *training* from a released checkpoint (synthesis only loads the
+    generator).
+    """
+    params: Dict[str, dict] = {}
+    for i in range(layers - 1):
+        params[f"conv_{i}"] = _wn_conv1d(state, f"conv_layers.{2 * i}")
+    params["conv_last"] = _wn_conv1d(
+        state, f"conv_layers.{2 * (layers - 1)}")
+    return params
 
 
 def convert_pwg_generator(state: Dict[str, np.ndarray],

@@ -58,7 +58,17 @@ def main():
                         help="speaker id to synthesize with "
                              "(multi-speaker models)")
     parser.add_argument("--max-text-len", type=int, default=128)
-    parser.add_argument("--max-frames", type=int, default=1024)
+    parser.add_argument("--max-frames", type=int, default=1024,
+                        help="decoder frame capacity; raise for "
+                             "paragraph-scale long-form synthesis "
+                             "(e.g. 6144 = 76.8 s at hop 300; the "
+                             "decoder attention auto-switches to the "
+                             "flash kernel above T=1024)")
+    parser.add_argument("--min-duration", type=int, default=1,
+                        help="floor each token's predicted duration "
+                             "(robustness for under-trained "
+                             "checkpoints; also the lever long-form "
+                             "demos use to force a target length)")
     parser.add_argument("--export-dir", type=Path, default=None,
                         help="serialize the jitted AM + vocoder as "
                              "jax.export StableHLO (deploy via "
@@ -129,7 +139,8 @@ def main():
 
         def am_export(text, text_lengths):
             out = am.apply(am_vars, text, text_lengths,
-                           max_frames=args.max_frames, min_duration=1,
+                           max_frames=args.max_frames,
+                           min_duration=args.min_duration,
                            spk_id=spk_id, method=FastSpeech2.inference)
             mel = out["after_outs"]
             if am_norm is not None:
@@ -162,7 +173,8 @@ def main():
     @jax.jit
     def am_infer(variables, text, text_lengths):
         out = am.apply(variables, text, text_lengths,
-                       max_frames=args.max_frames, min_duration=1,
+                       max_frames=args.max_frames,
+                       min_duration=args.min_duration,
                        spk_id=spk_id, method=FastSpeech2.inference)
         return out["after_outs"], out["frame_lengths"]
 

@@ -116,3 +116,54 @@ def test_flash_with_attn_dropout_raises():
         mha.init({"params": jax.random.PRNGKey(0),
                   "dropout": jax.random.PRNGKey(1)},
                  x, x, x, None, deterministic=False)
+
+
+def test_auto_core_dispatch():
+    """'auto' (the FastSpeech2 default): dense below the measured
+    crossover (returns attention weights), flash above (weights None),
+    identical outputs either side of the threshold."""
+    from parakeet_tpu.nn.flash import make_auto_attn_core
+    from parakeet_tpu.nn.transformer import MultiHeadAttention
+
+    core = make_auto_attn_core(threshold=64)
+    mha_auto = MultiHeadAttention(2, 32, attn_core=core)
+    mha_dense = MultiHeadAttention(2, 32)
+    rng = np.random.default_rng(4)
+
+    # below threshold: core returns None -> dense path, weights present
+    x_small = jnp.asarray(
+        rng.standard_normal((1, 16, 32)).astype(np.float32))
+    v = mha_auto.init(jax.random.PRNGKey(0), x_small, x_small, x_small)
+    out_s, attn_s, _ = mha_auto.apply(v, x_small, x_small, x_small)
+    assert attn_s is not None
+    ref_s, _, _ = mha_dense.apply(v, x_small, x_small, x_small)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(ref_s))
+
+    # above threshold: flash kernel, weights None, same output values
+    x_big = jnp.asarray(
+        rng.standard_normal((1, 128, 32)).astype(np.float32))
+    out_b, attn_b, _ = mha_auto.apply(v, x_big, x_big, x_big)
+    assert attn_b is None
+    ref_b, _, _ = mha_dense.apply(v, x_big, x_big, x_big)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_auto_core_dropout_falls_back_to_dense():
+    """Training with attention dropout under 'auto' uses the dense path
+    (regularization preserved) instead of raising like a fixed custom
+    core does."""
+    from parakeet_tpu.nn.flash import make_auto_attn_core
+    from parakeet_tpu.nn.transformer import MultiHeadAttention
+
+    core = make_auto_attn_core(threshold=8)
+    mha = MultiHeadAttention(2, 32, dropout_rate=0.1, attn_core=core)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 16, 32)).astype(np.float32))
+    v = mha.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)},
+                 x, x, x, None, deterministic=False)
+    out, attn, _ = mha.apply(v, x, x, x, None, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+    assert attn is not None        # dense path ran (weights exist)
+    assert np.isfinite(np.asarray(out)).all()

@@ -19,7 +19,10 @@ DT = torch.float64
 
 
 def _t(state, key):
-    return torch.as_tensor(np.asarray(state[key]), dtype=DT)
+    v = state[key]
+    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
+        return v if v.dtype == DT else v.to(DT)
+    return torch.as_tensor(np.asarray(v), dtype=DT)
 
 
 def _linear(state, prefix, x):
@@ -126,15 +129,14 @@ def _length_regulate(hs, durations):
     return out, totals
 
 
-def golden_fastspeech2_forward(state, text, ilens, durations, pitch,
-                               energy, *, odim, heads=2, elayers=1,
-                               dlayers=1, predictor_layers=2,
-                               pitch_predictor_layers=2,
-                               energy_predictor_layers=2,
-                               postnet_layers=2):
-    """Teacher-forced forward.  text (B, Tmax) int, ilens (B,),
-    durations (B, Tmax) int, pitch/energy (B, Tmax, 1).
-    Returns dict of float64 numpy arrays."""
+def _forward(state, text, ilens, durations, pitch, energy, *, odim,
+             heads=2, elayers=1, dlayers=1, predictor_layers=2,
+             pitch_predictor_layers=2, energy_predictor_layers=2,
+             postnet_layers=2, bn_train=False):
+    """Teacher-forced forward returning torch tensors (grad-capable
+    when ``state`` holds requires_grad tensors).  ``bn_train``: postnet
+    BatchNorm normalizes with minibatch statistics (what a train step
+    does) instead of the stored running stats."""
     text = torch.as_tensor(np.asarray(text)).long()
     ilens = torch.as_tensor(np.asarray(ilens)).long()
     durations = torch.as_tensor(np.asarray(durations)).long()
@@ -146,7 +148,8 @@ def golden_fastspeech2_forward(state, text, ilens, durations, pitch,
     nonpad = token_idx < ilens.unsqueeze(1)          # (B, Tmax) True=real
     pad_mask = ~nonpad
 
-    emb = _t(state, "encoder.embed.0.weight")[text]
+    emb = F.embedding(text, _t(state, "encoder.embed.0.weight"),
+                      padding_idx=0)
     hs = _encoder_stack(state, "encoder", emb, nonpad.unsqueeze(1),
                         elayers, heads, has_embed=True)
 
@@ -172,12 +175,17 @@ def golden_fastspeech2_forward(state, text, ilens, durations, pitch,
     before = _linear(state, "feat_out", zs).reshape(B, -1, odim)
 
     # Postnet (tacotron2/decoder.py:84-160): conv(no bias)+BN(+tanh
-    # except last); BN in eval mode with running stats
+    # except last)
     x = before.transpose(1, 2)
     for i in range(postnet_layers):
         p = f"postnet.postnet.{i}"
         x = _conv1d_ncl(state, f"{p}.0", x, bias=False)
-        mean, var = _t(state, f"{p}.1._mean"), _t(state, f"{p}.1._variance")
+        if bn_train:
+            mean = x.mean(dim=(0, 2))
+            var = x.var(dim=(0, 2), unbiased=False)
+        else:
+            mean = _t(state, f"{p}.1._mean")
+            var = _t(state, f"{p}.1._variance")
         w, b = _t(state, f"{p}.1.weight"), _t(state, f"{p}.1.bias")
         x = (x - mean[:, None]) / torch.sqrt(var[:, None] + 1e-5) \
             * w[:, None] + b[:, None]
@@ -185,6 +193,68 @@ def golden_fastspeech2_forward(state, text, ilens, durations, pitch,
             x = torch.tanh(x)
     after = before + x.transpose(1, 2)
 
-    return {"before_outs": before.numpy(), "after_outs": after.numpy(),
-            "d_outs": d_outs.numpy(), "p_outs": p_outs.numpy(),
-            "e_outs": e_outs.numpy(), "olens": olens.numpy()}
+    return {"before_outs": before, "after_outs": after, "d_outs": d_outs,
+            "p_outs": p_outs, "e_outs": e_outs, "olens": olens,
+            "in_nonpad": nonpad, "out_nonpad": out_nonpad}
+
+
+def golden_fastspeech2_forward(state, text, ilens, durations, pitch,
+                               energy, **kw):
+    """Teacher-forced forward.  text (B, Tmax) int, ilens (B,),
+    durations (B, Tmax) int, pitch/energy (B, Tmax, 1).
+    Returns dict of float64 numpy arrays."""
+    out = _forward(state, text, ilens, durations, pitch, energy, **kw)
+    return {k: out[k].numpy() for k in ("before_outs", "after_outs",
+                                        "d_outs", "p_outs", "e_outs",
+                                        "olens")}
+
+
+def golden_fastspeech2_loss_and_grads(state, text, ilens, speech,
+                                      durations, pitch, energy, **kw):
+    """Full training-loss gradients w.r.t. every paddle-layout param.
+
+    Loss mirrors the reference FastSpeech2Loss with use_masking=True
+    (reference: fastspeech2.py:674-812): masked mean L1 on before+after
+    outs, masked log-domain duration MSE (offset 1), masked pitch and
+    energy MSE.  Postnet BN runs in train mode (minibatch statistics),
+    matching what a train step differentiates.  Returns
+    (loss float, {param_name: grad float64 numpy}); BN running stats
+    (buffers, not trained) get zero grads.
+    """
+    grad_state = {}
+    for k, v in state.items():
+        t = torch.as_tensor(np.asarray(v), dtype=DT)
+        if not (k.endswith("._mean") or k.endswith("._variance")):
+            t = t.clone().requires_grad_(True)
+        grad_state[k] = t
+
+    out = _forward(grad_state, text, ilens, durations, pitch, energy,
+                   bn_train=True, **kw)
+    ys = torch.as_tensor(np.asarray(speech), dtype=DT)
+    ds = torch.as_tensor(np.asarray(durations)).long()
+    ps = torch.as_tensor(np.asarray(pitch), dtype=DT)
+    es = torch.as_tensor(np.asarray(energy), dtype=DT)
+
+    out_m = out["out_nonpad"].unsqueeze(-1).to(DT)        # (B, L, 1)
+    in_m = out["in_nonpad"].to(DT)                        # (B, T)
+    denom = (out_m.sum() * ys.shape[2]).clamp(min=1.0)
+    l1 = ((out["before_outs"] - ys).abs() * out_m).sum() / denom \
+        + ((out["after_outs"] - ys).abs() * out_m).sum() / denom
+    log_ds = torch.log(ds.to(DT) + 1.0)
+    dur = ((out["d_outs"] - log_ds) ** 2 * in_m).sum() \
+        / in_m.sum().clamp(min=1.0)
+    im3 = in_m.unsqueeze(-1)
+    pitch_l = ((out["p_outs"] - ps) ** 2 * im3).sum() \
+        / im3.sum().clamp(min=1.0)
+    energy_l = ((out["e_outs"] - es) ** 2 * im3).sum() \
+        / im3.sum().clamp(min=1.0)
+    loss = l1 + dur + pitch_l + energy_l
+    loss.backward()
+
+    grads = {}
+    for k, t in grad_state.items():
+        if t.grad is None:
+            grads[k] = np.zeros(t.shape, np.float64)
+        else:
+            grads[k] = t.grad.numpy()
+    return float(loss.detach()), grads

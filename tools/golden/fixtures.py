@@ -308,3 +308,19 @@ def ge2e_state(seed=29):
     state["similarity_weight"] = np.full((1,), 10.0, np.float32)
     state["similarity_bias"] = np.full((1,), -5.0, np.float32)
     return state, cfg
+
+
+def pwg_disc_state(seed=31):
+    """Paddle-layout PWGDiscriminator state dict (reference:
+    parallel_wavegan.py:554-598 — Sequential of [weight-normed conv,
+    LeakyReLU] pairs + final conv, so convs sit at even indices)."""
+    cfg = dict(layers=4, conv_channels=8, kernel_size=3)
+    b = _B(np.random.default_rng(seed))
+    cin = 1
+    for i in range(cfg["layers"] - 1):
+        b.wn_conv(f"conv_layers.{2 * i}",
+                  (cfg["conv_channels"], cin, cfg["kernel_size"]))
+        cin = cfg["conv_channels"]
+    b.wn_conv(f"conv_layers.{2 * (cfg['layers'] - 1)}",
+              (1, cin, cfg["kernel_size"]))
+    return b.state, cfg
