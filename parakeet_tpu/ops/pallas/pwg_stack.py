@@ -84,6 +84,29 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
                   x_next, skip_out, xdma, cdma, xw, sbuf, tails,
                   sem_x, sem_c,
                   *, dils, cr: int, ca: int, t_signal: int):
+    _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso, x_next, skip_out,
+                None, xdma, cdma, xw, sbuf, tails, sem_x, sem_c,
+                dils=dils, cr=cr, ca=ca, t_signal=t_signal)
+
+
+def _group_save_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
+                       x_next, skip_out, saved, xdma, cdma, xw, sbuf,
+                       tails, sem_x, sem_c,
+                       *, dils, cr: int, ca: int, t_signal: int):
+    """Forward + save: the training forward (custom VJP,
+    pwg_stack_train.py) also writes each layer's bf16 input stream
+    (center rows) to HBM, so the backward needs no recompute pass —
+    ``saved[(B, Lg, T + 2*BLOCK, 128)]`` at lead BLOCK, exactly the
+    operand dtype the forward matmuls consumed."""
+    _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso, x_next, skip_out,
+                saved, xdma, cdma, xw, sbuf, tails, sem_x, sem_c,
+                dils=dils, cr=cr, ca=ca, t_signal=t_signal)
+
+
+def _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso,
+                x_next, skip_out, saved, xdma, cdma, xw, sbuf, tails,
+                sem_x, sem_c,
+                *, dils, cr: int, ca: int, t_signal: int):
     """One group of len(dils) gated residual layers on a right-extended
     window with carried left tails.
 
@@ -155,6 +178,19 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
         tails[off:off + d] = xw[_HALO + _BLOCK - d:_HALO + _BLOCK]
         off += d
 
+        if saved is not None:
+            # layer j's input stream, center rows — exactly the bf16
+            # the matmuls below consume (backward recomputes gates
+            # from this, bit-for-bit)
+            ctr = xw[_HALO:_HALO + _BLOCK]
+            if cr == 128:
+                saved[0, j] = ctr.astype(jnp.bfloat16)
+            else:
+                saved[0, j] = jnp.concatenate(
+                    [ctr.astype(jnp.bfloat16),
+                     jnp.zeros((_BLOCK, 128 - cr), jnp.bfloat16)],
+                    axis=1)
+
         x = xw[_HALO:_HALO + r]
         left = xw[_HALO - d:_HALO - d + r].astype(jnp.bfloat16)
         right = xw[_HALO + d:_HALO + d + r].astype(jnp.bfloat16)
@@ -172,11 +208,13 @@ def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
 
 
 def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
-               interpret):
+               interpret, save: bool = False):
     """x_pad/c_pad: (B, (nblk+2)*BLOCK, 128) bf16 (c zero-padded; x
     halo/pad garbage tolerated — select-masked at load); returns
     (x_next in the same padded layout [bf16], skips
-    (B, nblk*BLOCK, cr) [f32])."""
+    (B, nblk*BLOCK, cr) [f32]) — plus, with ``save=True``, the saved
+    per-layer bf16 input streams (B, Lg, (nblk+2)*BLOCK, 128) at lead
+    BLOCK for the training backward (pwg_stack_train.py)."""
     lg = len(dils)
     blk = _BLOCK
     r = blk + _HALO
@@ -186,9 +224,27 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
         return pl.BlockSpec(shape, lambda bb, f: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    out_specs = [
+        pl.BlockSpec((1, blk, 128), lambda bb, f: (bb, f + 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, cr), lambda bb, f: (bb, f, 0),
+                     memory_space=pltpu.VMEM)]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, (nblk + 2) * blk, 128), jnp.bfloat16),
+        jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.float32)]
+    if save:
+        kernel = _group_save_kernel
+        out_specs.append(
+            pl.BlockSpec((1, lg, blk, 128), lambda bb, f: (bb, 0, f + 1, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (b, lg, (nblk + 2) * blk, 128), jnp.bfloat16))
+    else:
+        kernel = _group_kernel
+
     grid = (b, nblk)
     out = pl.pallas_call(
-        functools.partial(_group_kernel, dils=tuple(dils), cr=cr,
+        functools.partial(kernel, dils=tuple(dils), cr=cr,
                           ca=ca, t_signal=t_signal),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -196,15 +252,8 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
                   wspec((lg, 2 * cr, 2 * cr)), wspec((lg, cr, 2 * cr)),
                   wspec((lg, ca + 1, 2 * cr)), wspec((lg, cr, 2 * cr)),
                   wspec((lg, 1, 2 * cr))],
-        out_specs=[
-            pl.BlockSpec((1, blk, 128), lambda bb, f: (bb, f + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, cr), lambda bb, f: (bb, f, 0),
-                         memory_space=pltpu.VMEM)],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, (nblk + 2) * blk, 128),
-                                 jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, nblk * blk, cr), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((r, 128), jnp.bfloat16),
                         pltpu.VMEM((r, 128), jnp.bfloat16),
                         pltpu.VMEM((_HALO + r + _SLACK, cr),
@@ -214,7 +263,7 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=(64 if save else 32) * 1024 * 1024),
         interpret=interpret,
     )(x_pad, c_pad, *wg)
     return out

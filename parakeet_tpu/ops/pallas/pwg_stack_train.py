@@ -7,26 +7,25 @@ the measured 12% MFU bottleneck (docs/tpu_performance.md).  This module
 gives the fused inference kernel (pwg_stack.py) a hand-written VJP so
 the whole stack trains out of VMEM:
 
-- **forward**: the inference kernel itself (one pallas_call per group of
-  Lg layers; activations never leave VMEM inside a group).
-- **backward**, per group, two kernels:
-  1. *save pass* — re-runs the group forward (same carried-left-tails
-     grid) and writes every layer's input stream to HBM as bf16
-     (exactly the operand dtype the forward matmuls consumed, so the
-     recomputed gates in step 2 match the forward bit-for-bit).
-     Transient footprint: Lg * (B, T, 128) bf16 for ONE group at a
-     time — the reason the VJP recomputes instead of saving from the
-     forward (saving all groups at once is the HBM blow-up that forced
-     remat in the XLA path).
-  2. *backward pass* — the time grid runs in REVERSE.  The forward
-     kernel kills its left halo with carried layer-input tails; the
-     transpose needs d(left-tap) rows from the *next* block, so the
-     backward kernel carries per-layer tails of ``dtaps_left`` across
-     grid steps (exact, no halo) and pays a redundant LEFT halo of
-     sum(dilations) rows instead (mirror image of the forward).  Gates
-     are recomputed from the saved streams; weight gradients accumulate
-     across the whole grid directly in revisited output blocks (VMEM
-     resident, flushed once); dx/dc center blocks write per step.
+- **forward**: the inference group kernel *with saving*
+  (pwg_stack._group_save_kernel): alongside x_next/skips it streams
+  every layer's bf16 input rows (exactly the operand dtype the matmuls
+  consume) to HBM -- one extra VMEM->HBM write per layer, ~free next
+  to the matmuls.  Residual footprint: Lg * (B, T, 128) bf16 per group
+  (all groups live until the backward) -- ~0.5 GB/group at the bs6
+  reference point, far below the 30 full-rate fp32 gate tensors that
+  forced remat in the XLA path.  Round 2 ran a separate *save pass*
+  (recompute-in-backward) instead; folding it into the forward removed
+  one full group forward per group from every training step.
+- **backward**, per group, ONE reverse-grid kernel: the forward kernel
+  kills its left halo with carried layer-input tails; the transpose
+  needs d(left-tap) rows from the *next* block, so the backward kernel
+  carries per-layer tails of ``dtaps_left`` across grid steps (exact,
+  no halo) and pays a redundant LEFT halo of sum(dilations) rows
+  instead (mirror image of the forward).  Gates are recomputed from
+  the saved streams; weight gradients accumulate across the whole grid
+  directly in revisited output blocks (VMEM resident, flushed once);
+  dx/dc center blocks write per step.
 
 Gradient semantics: this is the exact transpose of what the fused
 kernel computes (bf16 matmuls, fp32 accumulation, fp32 residual/skip
@@ -52,8 +51,9 @@ from . import pwg_stack as _ps
 
 __all__ = ["fused_residual_stack_train", "fused_stack_train_supported"]
 
-_SAVE_BLOCK = 2048   # save-pass center rows per grid step
-_BWD_BLOCK = 2048    # backward center rows per grid step
+_BWD_BLOCK = 4096    # backward center rows per grid step; 4096 halves
+                     # the redundant left halo (sum(dils)=1023 rows)
+                     # vs 2048 — measured +3% step throughput
 
 
 def fused_stack_train_supported(residual_channels: int, gate_channels: int,
@@ -66,75 +66,11 @@ def fused_stack_train_supported(residual_channels: int, gate_channels: int,
         return False
     per = layers // stacks
     halo_needed = sum(2 ** (i % per) for i in range(layers)) // stacks
-    # backward windows need the save-pass lead pad to cover halo+slack
-    return (_ps._BLOCK % _SAVE_BLOCK == 0 and _ps._BLOCK % _BWD_BLOCK == 0
-            and halo_needed + _ps._SLACK <= _SAVE_BLOCK
+    # backward windows read the saved streams at lead _BLOCK, which must
+    # cover halo+slack; the reverse grid tiles _BLOCK-aligned rows
+    return (_ps._BLOCK % _BWD_BLOCK == 0
+            and halo_needed + _ps._SLACK <= _ps._BLOCK
             and _ps._HALO <= _BWD_BLOCK)
-
-
-def _save_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso, saved,
-                 xdma, cdma, xw, tails, sem_x, sem_c,
-                 *, dils, cr: int, ca: int, t_signal: int,
-                 block: int, halo: int, lead_x: int):
-    """Forward re-run that stores each layer's input stream (center
-    rows, bf16, lane-padded to 128) into ``saved[(B, Lg, T_sv, 128)]``.
-    Same carried-left-tails structure as pwg_stack._group_kernel; no
-    skip accumulation (not needed for the recompute)."""
-    r = block + halo
-    bb = pl.program_id(0)
-    f = pl.program_id(1)
-    row0 = lead_x + f * block
-
-    cp_x = pltpu.make_async_copy(x_hbm.at[bb, pl.ds(row0, r)], xdma, sem_x)
-    cp_c = pltpu.make_async_copy(c_hbm.at[bb, pl.ds(row0, r)], cdma, sem_c)
-    cp_x.start()
-    cp_c.start()
-
-    @pl.when(f == 0)
-    def _():
-        tails[:] = jnp.zeros_like(tails)
-
-    gstart = f * block
-    rows = gstart + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-    mask = (rows < t_signal).astype(jnp.float32)
-
-    cp_x.wait()
-    cp_c.wait()
-    xw[halo:halo + r] = jnp.where(
-        mask > 0, xdma[:, :cr].astype(jnp.float32), 0.0)
-    cdma[:, ca:ca + 1] = jnp.ones((r, 1), jnp.bfloat16)
-    cb = cdma[:, :ca + 1]
-
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-    def lane_pad(v, dtype):
-        if cr == 128:
-            return v.astype(dtype)
-        return jnp.concatenate(
-            [v.astype(dtype), jnp.zeros((v.shape[0], 128 - cr), dtype)],
-            axis=1)
-
-    off = 0
-    for j, d in enumerate(dils):
-        xw[halo - d:halo] = tails[off:off + d]
-        tails[off:off + d] = xw[halo + block - d:halo + block]
-        off += d
-
-        # layer j's input stream, center rows — exactly the bf16 the
-        # forward matmuls consumed
-        saved[0, j] = lane_pad(xw[halo:halo + block], jnp.bfloat16)
-
-        x = xw[halo:halo + r]
-        left = xw[halo - d:halo - d + r].astype(jnp.bfloat16)
-        right = xw[halo + d:halo + d + r].astype(jnp.bfloat16)
-        taps = jnp.concatenate([left, right], axis=1)
-        g = (dot(taps, w02[j]) + dot(x.astype(jnp.bfloat16), w1[j])
-             + dot(cb, wa[j]))
-        h = (jnp.tanh(g[:, :cr])
-             * jax.nn.sigmoid(g[:, cr:])).astype(jnp.bfloat16)
-        so = dot(h, wso[j]) + bso[j]
-        xw[halo:halo + r] = (so[:, cr:] + x) * (math.sqrt(0.5) * mask)
 
 
 def _bwd_kernel(saved_hbm, c_hbm, dxo_hbm, dsk_hbm,
@@ -290,49 +226,6 @@ def _bwd_kernel(saved_hbm, c_hbm, dxo_hbm, dsk_hbm,
     dc_out[0] = dcacc[:]
 
 
-def _run_save(x_pad, c_pad, wg, dils, *, b, n_rows, cr, ca, t_signal,
-              lead_x, interpret):
-    """x_pad/c_pad: forward padded layout (lead lead_x).  Returns
-    saved (B, Lg, SAVE_BLOCK + n_rows + SAVE_BLOCK, 128) bf16 — layer
-    input streams at lead _SAVE_BLOCK."""
-    lg = len(dils)
-    sb = _SAVE_BLOCK
-    nblk = n_rows // sb
-    r = sb + _ps._HALO
-    sum_d = int(sum(dils))
-
-    def wspec(shape):
-        return pl.BlockSpec(shape, lambda bb, f: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    return pl.pallas_call(
-        functools.partial(_save_kernel, dils=tuple(dils), cr=cr, ca=ca,
-                          t_signal=t_signal, block=sb, halo=_ps._HALO,
-                          lead_x=lead_x),
-        grid=(b, nblk),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  wspec((lg, 2 * cr, 2 * cr)), wspec((lg, cr, 2 * cr)),
-                  wspec((lg, ca + 1, 2 * cr)), wspec((lg, cr, 2 * cr)),
-                  wspec((lg, 1, 2 * cr))],
-        out_specs=pl.BlockSpec((1, lg, sb, 128),
-                               lambda bb, f: (bb, 0, f + 1, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lg, n_rows + 2 * sb, 128),
-                                       jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((r, 128), jnp.bfloat16),
-                        pltpu.VMEM((r, 128), jnp.bfloat16),
-                        pltpu.VMEM((_ps._HALO + r + _ps._SLACK, cr),
-                                   jnp.float32),
-                        pltpu.VMEM((sum_d, cr), jnp.float32),
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(x_pad, c_pad, *wg)
-
-
 def _run_bwd(saved, c_pad, dxo_pad, dsk_pad, wg, dils, *, b, n_rows,
              cr, ca, t_signal, lead_x, interpret):
     """Returns (dx_pad, dc_pad, dw02, dw1, dwa, dwso, dbso)."""
@@ -360,7 +253,7 @@ def _run_bwd(saved, c_pad, dxo_pad, dsk_pad, wg, dils, *, b, n_rows,
         functools.partial(_bwd_kernel, dils=tuple(dils), cr=cr, ca=ca,
                           t_signal=t_signal, block=blk, halo=halo,
                           slack=slack, nblk=nblk, lead_x=lead_x,
-                          lead_sv=_SAVE_BLOCK, lead_sk=_SAVE_BLOCK),
+                          lead_sv=lead_x, lead_sk=lead_x),
         grid=(b, nblk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
             wspec((lg, 2 * cr, 2 * cr)), wspec((lg, cr, 2 * cr)),
@@ -422,9 +315,18 @@ def _run_bwd(saved, c_pad, dxo_pad, dsk_pad, wg, dils, *, b, n_rows,
 def _group_apply(static, x_pad, c_pad, w02, w1, wa, wso, bso):
     """One differentiable group.  x_pad/c_pad are fp32 in the forward
     padded layout; weights fp32 in the kernel's stacked shapes.  Returns
-    (x_pad_next fp32, skips fp32 (B, n_rows, cr))."""
-    out, _ = _group_fwd(static, x_pad, c_pad, w02, w1, wa, wso, bso)
-    return out
+    (x_pad_next fp32, skips fp32 (B, n_rows, cr)).
+
+    This primal body runs WITHOUT stream-saving — it executes only when
+    the call is not differentiated (e.g. the GAN updater's
+    stop-gradient'd fake regeneration); under jax.grad the custom-vjp
+    machinery runs :func:`_group_fwd` (save=True) instead."""
+    dils, b, nblk_f, cr, ca, t, interpret = static
+    x_next, skips = _ps._run_group(
+        x_pad.astype(jnp.bfloat16), c_pad.astype(jnp.bfloat16),
+        _cast_wg(w02, w1, wa, wso, bso), dils, b=b, nblk=nblk_f, cr=cr,
+        ca=ca, t_signal=t, interpret=interpret)
+    return (x_next.astype(jnp.float32), skips)
 
 
 def _cast_wg(w02, w1, wa, wso, bso):
@@ -438,26 +340,29 @@ def _group_fwd(static, x_pad, c_pad, w02, w1, wa, wso, bso):
     x_bf = x_pad.astype(jnp.bfloat16)
     c_bf = c_pad.astype(jnp.bfloat16)
     wg = _cast_wg(w02, w1, wa, wso, bso)
-    x_next, skips = _ps._run_group(x_bf, c_bf, wg, dils, b=b, nblk=nblk_f,
-                                   cr=cr, ca=ca, t_signal=t,
-                                   interpret=interpret)
-    return ((x_next.astype(jnp.float32), skips), (x_bf, c_bf, wg))
+    # forward-with-save: the group kernel also streams every layer's
+    # bf16 input rows to HBM (one extra VMEM->HBM write per layer,
+    # ~free next to the matmuls), so the backward needs no recompute
+    # pass — measured 7% faster steps than the round-2
+    # save-pass-in-backward design at the reference bs6 point
+    x_next, skips, saved = _ps._run_group(
+        x_bf, c_bf, wg, dils, b=b, nblk=nblk_f, cr=cr, ca=ca,
+        t_signal=t, interpret=interpret, save=True)
+    return ((x_next.astype(jnp.float32), skips), (saved, c_bf, wg))
 
 
 def _group_bwd(static, res, cts):
     dils, b, nblk_f, cr, ca, t, interpret = static
-    x_bf, c_bf, wg = res
+    saved, c_bf, wg = res
     dx_next, dskips = cts
     lead_x = _ps._BLOCK
     n_rows = nblk_f * _ps._BLOCK
 
-    saved = _run_save(x_bf, c_bf, wg, dils, b=b, n_rows=n_rows, cr=cr,
-                      ca=ca, t_signal=t, lead_x=lead_x,
-                      interpret=interpret)
-    # skip grads into the save-pass padded layout (lead _SAVE_BLOCK)
+    # skip grads into the forward padded layout (lead _BLOCK, matching
+    # the saved streams' lead)
     dsk_pad = jnp.pad(
         dskips.astype(jnp.float32),
-        ((0, 0), (_SAVE_BLOCK, _SAVE_BLOCK), (0, 128 - cr)))
+        ((0, 0), (lead_x, lead_x), (0, 128 - cr)))
     dxo_pad = dx_next.astype(jnp.float32)
     dx, dc, dw02, dw1, dwa, dwso, dbso = _run_bwd(
         saved, c_bf, dxo_pad, dsk_pad, wg, dils, b=b, n_rows=n_rows,

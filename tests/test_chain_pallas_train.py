@@ -54,12 +54,12 @@ def small_blocks():
     test's T=1200 (same values as tests/test_pwg_stack_train.py)."""
     from parakeet_tpu.ops.pallas import pwg_stack, pwg_stack_train
     saved = (pwg_stack._BLOCK, pwg_stack._HALO, pwg_stack._SLACK,
-             pwg_stack_train._SAVE_BLOCK, pwg_stack_train._BWD_BLOCK)
+             pwg_stack_train._BWD_BLOCK)
     pwg_stack._BLOCK, pwg_stack._HALO, pwg_stack._SLACK = 256, 64, 32
-    pwg_stack_train._SAVE_BLOCK = pwg_stack_train._BWD_BLOCK = 128
+    pwg_stack_train._BWD_BLOCK = 128
     yield
     (pwg_stack._BLOCK, pwg_stack._HALO, pwg_stack._SLACK,
-     pwg_stack_train._SAVE_BLOCK, pwg_stack_train._BWD_BLOCK) = saved
+     pwg_stack_train._BWD_BLOCK) = saved
 
 
 @pytest.fixture(scope="module")

@@ -26,7 +26,6 @@ def small_blocks(monkeypatch):
     monkeypatch.setattr(pwg_stack, "_BLOCK", 256)
     monkeypatch.setattr(pwg_stack, "_HALO", 64)
     monkeypatch.setattr(pwg_stack, "_SLACK", 32)
-    monkeypatch.setattr(pwg_stack_train, "_SAVE_BLOCK", 128)
     monkeypatch.setattr(pwg_stack_train, "_BWD_BLOCK", 128)
 
 
