@@ -17,6 +17,7 @@ Usage:  python benchmarks/flash_sweep.py [--iters 10] [--tokens 16384]
 import argparse
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -81,17 +82,33 @@ def main():
                         default=["dense", "flash"])
     args = parser.parse_args()
 
+    import subprocess
+    import sys
+
     for frames in args.frames:
         batch = max(1, args.tokens // frames)
         row = {"metric": "fastspeech2_train_tokens_per_sec",
                "frames": frames, "batch_size": batch,
                "dtype": args.dtype}
         for impl in args.impls:
-            try:
-                row[impl] = round(bench_point(
-                    frames, batch, args.iters, impl, args.dtype), 1)
-            except Exception as e:  # OOM at long T is a result, not a bug
-                row[impl] = f"failed: {type(e).__name__}"
+            # each point runs in its own process: a RESOURCE_EXHAUSTED
+            # at long T (a legitimate result for dense) would otherwise
+            # poison subsequent allocations in this process
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, "
+                 f"{str(Path(__file__).parent)!r}); "
+                 "from flash_sweep import bench_point; "
+                 f"print('RESULT', bench_point({frames}, {batch}, "
+                 f"{args.iters}, {impl!r}, {args.dtype!r}))"],
+                capture_output=True, text=True, timeout=3000)
+            out = [ln for ln in proc.stdout.splitlines()
+                   if ln.startswith("RESULT ")]
+            if proc.returncode == 0 and out:
+                row[impl] = round(float(out[0].split()[1]), 1)
+            else:
+                err = (proc.stderr.strip().splitlines() or ["?"])[-1]
+                row[impl] = f"failed: {err[:80]}"
         if all(isinstance(row.get(i), float) for i in ("dense", "flash")):
             row["flash_speedup"] = round(row["flash"] / row["dense"], 3)
         print(json.dumps(row), flush=True)
