@@ -187,3 +187,54 @@ def test_recipe_tp_pp_exclusive(prepared):
         env=env)
     assert proc.returncode != 0
     assert "mutually exclusive" in proc.stderr
+
+
+def test_pp_checkpoint_converter_roundtrip(tmp_path):
+    """tools/convert_pp_checkpoint.py: a --pp (stacked) snapshot
+    converts to the standard per-layer layout (what every synthesize
+    CLI consumes) with every leaf preserved, and back."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from parakeet_tpu.models import FastSpeech2
+    from parakeet_tpu.parallel import stack_layer_params
+    from parakeet_tpu.training.checkpoint import (load_pytree, nest_flat,
+                                                  save_pytree)
+
+    m = FastSpeech2(idim=20, odim=8, adim=16, aheads=2, elayers=2,
+                    eunits=32, dlayers=2, dunits=32, postnet_layers=2,
+                    postnet_chans=8, postnet_filts=3,
+                    duration_predictor_chans=16,
+                    pitch_predictor_chans=16, energy_predictor_chans=16)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.ones((1, 6), jnp.int32), jnp.asarray([6]),
+               max_frames=16, method=FastSpeech2.inference)
+    params = dict(v["params"])
+    orig = jax.device_get(params)
+    for s in ("encoder", "decoder"):
+        params[s] = stack_layer_params(params[s], 2)
+    save_pytree(tmp_path / "pp.npz", {"params": params})
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+
+    def convert(inp, out, *extra):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" /
+                                 "convert_pp_checkpoint.py"),
+             "--input", str(inp), "--output", str(out), *extra],
+            capture_output=True, text=True, timeout=300, cwd=str(REPO),
+            env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+    convert(tmp_path / "pp.npz", tmp_path / "std.npz")
+    flat, _ = load_pytree(tmp_path / "std.npz")
+    back = nest_flat(flat)["params"]
+    o = {jtu.keystr(p): leaf
+         for p, leaf in jtu.tree_leaves_with_path(orig)}
+    b = {jtu.keystr(p): leaf
+         for p, leaf in jtu.tree_leaves_with_path(back)}
+    assert set(o) == set(b)
+    for k in o:
+        np.testing.assert_array_equal(o[k], b[k])
+    convert(tmp_path / "std.npz", tmp_path / "pp2.npz", "--to-stacked")
