@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--text-len", type=int, default=128)
     parser.add_argument("--max-frames", type=int, default=896)
+    parser.add_argument("--dtype", default="float32",
+                        help="compute dtype (float32 | bfloat16)")
     args = parser.parse_args()
 
     import jax
@@ -32,11 +34,14 @@ def main():
     b, max_frames, text_len = (args.batch_size, args.max_frames,
                                args.text_len)
 
+    from parakeet_tpu.training.config import resolve_model_kwargs
+    dt = resolve_model_kwargs({"dtype": args.dtype})["dtype"]
     fs2 = FastSpeech2(idim=80, odim=80, adim=384, aheads=4, elayers=4,
-                      eunits=1536, dlayers=4, dunits=1536)
+                      eunits=1536, dlayers=4, dunits=1536, dtype=dt)
     pwg = PWGGenerator(layers=30, stacks=3, residual_channels=64,
                        gate_channels=128, skip_channels=64,
-                       upsample_scales=(5, 6, 10), aux_context_window=2)
+                       upsample_scales=(5, 6, 10), aux_context_window=2,
+                       dtype=dt)
 
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.integers(1, 80, (b, text_len)).astype(np.int64))
@@ -84,7 +89,8 @@ def main():
         "value": round(audio_seconds / elapsed, 2),
         "unit": "audio_seconds/sec",
         "per_stream_rtf": round(elapsed / (wav.shape[-1] / sr), 6),
-        **mfu_stats(flops, elapsed, "float32"),
+        "dtype": args.dtype,
+        **mfu_stats(flops, elapsed, args.dtype),
     }))
 
 
