@@ -66,9 +66,10 @@ def make_pwg_train_step(generator, discriminator, gen_tx, disc_tx, *,
 
         # ---------------- generator update ----------------
         def gen_loss_fn(g_params):
-            # deterministic=False: enables dropout AND keeps the
-            # ResidualStack on the differentiable XLA path (the fused
-            # Pallas forward is inference-only)
+            # deterministic=False selects the training forward: dropout
+            # is live, and stack_impl='pallas' routes the residual stack
+            # through the custom-VJP fused kernels (pwg_stack_train.py;
+            # 'auto'/'xla' differentiate through the XLA path)
             fake = generator.apply({"params": g_params}, noise, mel,
                                    deterministic=False,
                                    rngs={"dropout": drop_rng})
@@ -95,10 +96,11 @@ def make_pwg_train_step(generator, discriminator, gen_tx, disc_tx, *,
         # ---------------- discriminator update ----------------
         def disc_update(operand):
             d_params, d_opt = operand
-            # same training-mode forward as the generator update
-            # (deterministic=False: dropout on AND the differentiable
-            # XLA stack path — D must see the same fake distribution G
-            # was optimized against, not a bf16 Pallas variant)
+            # same training-mode forward as the generator update — D
+            # must see the exact fake distribution G was optimized
+            # against (under stack_impl='pallas' the stop_gradient
+            # keeps this regeneration on the saveless primal kernel,
+            # so it pays no residual-stream writes)
             fake = jax.lax.stop_gradient(
                 generator.apply({"params": g_params}, noise, mel,
                                 deterministic=False,

@@ -40,8 +40,9 @@ Forward-only: ResidualStack uses this path for inference ('auto' on
 TPU); training takes the differentiable XLA path.
 
 Measured at the headline bench point (b=1, T=268800, cr=64, 30 layers):
-20.2 ms vs 24.1 ms for the symmetric-halo BLOCK=2048 kernel it
-replaced (v5e; docs/tpu_performance.md).
+12.9 ms device time with the round-3 auto-sized 8192 block (14.5 at
+4096; the round-1 symmetric-halo BLOCK=2048 kernel was 24.1 ms wall;
+v5e, docs/tpu_performance.md).
 """
 from __future__ import annotations
 
@@ -83,16 +84,17 @@ def fused_stack_supported(residual_channels: int, gate_channels: int,
 def _group_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
                   x_next, skip_out, xdma, cdma, xw, sbuf, tails,
                   sem_x, sem_c,
-                  *, dils, cr: int, ca: int, t_signal: int):
+                  *, dils, cr: int, ca: int, t_signal: int, block: int):
     _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso, x_next, skip_out,
                 None, xdma, cdma, xw, sbuf, tails, sem_x, sem_c,
-                dils=dils, cr=cr, ca=ca, t_signal=t_signal)
+                dils=dils, cr=cr, ca=ca, t_signal=t_signal, block=block)
 
 
 def _group_save_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
                        x_next, skip_out, saved, xdma, cdma, xw, sbuf,
                        tails, sem_x, sem_c,
-                       *, dils, cr: int, ca: int, t_signal: int):
+                       *, dils, cr: int, ca: int, t_signal: int,
+                       block: int):
     """Forward + save: the training forward (custom VJP,
     pwg_stack_train.py) also writes each layer's bf16 input stream
     (center rows) to HBM, so the backward needs no recompute pass —
@@ -100,13 +102,13 @@ def _group_save_kernel(x_hbm, c_hbm, w02, w1, wa, wso, bso,
     operand dtype the forward matmuls consumed."""
     _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso, x_next, skip_out,
                 saved, xdma, cdma, xw, sbuf, tails, sem_x, sem_c,
-                dils=dils, cr=cr, ca=ca, t_signal=t_signal)
+                dils=dils, cr=cr, ca=ca, t_signal=t_signal, block=block)
 
 
 def _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso,
                 x_next, skip_out, saved, xdma, cdma, xw, sbuf, tails,
                 sem_x, sem_c,
-                *, dils, cr: int, ca: int, t_signal: int):
+                *, dils, cr: int, ca: int, t_signal: int, block: int):
     """One group of len(dils) gated residual layers on a right-extended
     window with carried left tails.
 
@@ -131,12 +133,12 @@ def _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso,
     layer j's d_j input rows at static offset cum_{<j}, persisted
     across sequential grid steps; sem_x/sem_c DMA semaphores.
     """
-    r = _BLOCK + _HALO
+    r = block + _HALO
     bb = pl.program_id(0)
     f = pl.program_id(1)
     # window = global rows [f*BLOCK, f*BLOCK + R); the padded array
     # leads with one full BLOCK
-    row0 = pl.multiple_of((f + 1) * _BLOCK, 256)
+    row0 = pl.multiple_of((f + 1) * block, 256)
 
     cp_x = pltpu.make_async_copy(x_hbm.at[bb, pl.ds(row0, r)], xdma, sem_x)
     cp_c = pltpu.make_async_copy(c_hbm.at[bb, pl.ds(row0, r)], cdma, sem_c)
@@ -150,7 +152,7 @@ def _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso,
 
     # global signal row of window row i is f*BLOCK + i (never < 0, so
     # only the right end needs masking)
-    gstart = f * _BLOCK
+    gstart = f * block
     rows = gstart + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     mask = (rows < t_signal).astype(jnp.float32)
 
@@ -175,20 +177,20 @@ def _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso,
         # save rows [(f+1)*BLOCK - d, (f+1)*BLOCK) of the SAME input
         # for the next grid step (read-then-write is safe: loads below
         # produce values before the store lands)
-        tails[off:off + d] = xw[_HALO + _BLOCK - d:_HALO + _BLOCK]
+        tails[off:off + d] = xw[_HALO + block - d:_HALO + block]
         off += d
 
         if saved is not None:
             # layer j's input stream, center rows — exactly the bf16
             # the matmuls below consume (backward recomputes gates
             # from this, bit-for-bit)
-            ctr = xw[_HALO:_HALO + _BLOCK]
+            ctr = xw[_HALO:_HALO + block]
             if cr == 128:
                 saved[0, j] = ctr.astype(jnp.bfloat16)
             else:
                 saved[0, j] = jnp.concatenate(
                     [ctr.astype(jnp.bfloat16),
-                     jnp.zeros((_BLOCK, 128 - cr), jnp.bfloat16)],
+                     jnp.zeros((block, 128 - cr), jnp.bfloat16)],
                     axis=1)
 
         x = xw[_HALO:_HALO + r]
@@ -203,20 +205,22 @@ def _group_body(x_hbm, c_hbm, w02, w1, wa, wso, bso,
         sbuf[:] = sbuf[:] + so[:, :cr]
         xw[_HALO:_HALO + r] = (so[:, cr:] + x) * (math.sqrt(0.5) * mask)
 
-    x_next[0, :, :cr] = xw[_HALO:_HALO + _BLOCK].astype(jnp.bfloat16)
-    skip_out[0] = sbuf[:_BLOCK]
+    x_next[0, :, :cr] = xw[_HALO:_HALO + block].astype(jnp.bfloat16)
+    skip_out[0] = sbuf[:block]
 
 
 def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
-               interpret, save: bool = False):
+               interpret, save: bool = False, block: int = None):
     """x_pad/c_pad: (B, (nblk+2)*BLOCK, 128) bf16 (c zero-padded; x
     halo/pad garbage tolerated — select-masked at load); returns
     (x_next in the same padded layout [bf16], skips
     (B, nblk*BLOCK, cr) [f32]) — plus, with ``save=True``, the saved
     per-layer bf16 input streams (B, Lg, (nblk+2)*BLOCK, 128) at lead
-    BLOCK for the training backward (pwg_stack_train.py)."""
+    BLOCK for the training backward (pwg_stack_train.py).  ``block``
+    is the center-rows-per-grid-step tile (default the module's
+    _BLOCK); callers must pad to the same block."""
     lg = len(dils)
-    blk = _BLOCK
+    blk = _BLOCK if block is None else block
     r = blk + _HALO
     sum_d = int(sum(dils))
 
@@ -245,7 +249,7 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
     grid = (b, nblk)
     out = pl.pallas_call(
         functools.partial(kernel, dils=tuple(dils), cr=cr,
-                          ca=ca, t_signal=t_signal),
+                          ca=ca, t_signal=t_signal, block=blk),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
@@ -263,10 +267,31 @@ def _run_group(x_pad, c_pad, wg, dils, *, b, nblk, cr, ca, t_signal,
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(64 if save else 32) * 1024 * 1024),
+            vmem_limit_bytes=(64 if save or blk > _BLOCK else 32)
+            * 1024 * 1024),
         interpret=interpret,
     )(x_pad, c_pad, *wg)
     return out
+
+
+def _pick_block(t: int) -> int:
+    """Inference block auto-tuning: every grid step pays a fixed _HALO
+    rows of redundant right-lookahead work, so larger blocks amortize it
+    (at the 11 s headline shape, 8192 computes 10% fewer rows than
+    4096); the last block's padding waste pulls the other way for short
+    signals.  Minimize total computed rows nblk*(block+_HALO) over
+    power-of-two multiples of _BLOCK.  VMEM caps the window at
+    2*_BLOCK (4*_BLOCK needs an 82 MB scoped allocation — over the
+    hardware's scoped-vmem budget — for 2% more saving).  Training
+    keeps _BLOCK: its backward tile must divide the forward block, and
+    the saved-stream lead grows with the block."""
+    best = _BLOCK
+    best_cost = -(-t // _BLOCK) * (_BLOCK + _HALO)
+    for blk in (2 * _BLOCK,):
+        cost = -(-t // blk) * (blk + _HALO)
+        if cost <= best_cost:
+            best, best_cost = blk, cost
+    return best
 
 
 def fused_residual_stack(x, c, weights, *, dilations, stacks):
@@ -298,15 +323,16 @@ def fused_residual_stack(x, c, weights, *, dilations, stacks):
             [weights["skip_b"], weights["out_b"]],
             axis=1)[:, None, :].astype(jnp.float32)
 
-    nblk = -(-t // _BLOCK)
-    pad_t = nblk * _BLOCK
+    blk = _pick_block(t)
+    nblk = -(-t // blk)
+    pad_t = nblk * blk
     interpret = jax.default_backend() not in ("tpu", "axon")
 
     def pad_sig(a):
         # lane-pad to 128 channels (Mosaic DMA slices must be
         # 128-aligned); one full leading BLOCK so the kernel's padded
         # x output lands on block-aligned offsets
-        a = jnp.pad(a, ((0, 0), (_BLOCK, pad_t - t + _BLOCK),
+        a = jnp.pad(a, ((0, 0), (blk, pad_t - t + blk),
                         (0, 128 - a.shape[-1])))
         return a.astype(jnp.bfloat16)
 
@@ -318,6 +344,6 @@ def fused_residual_stack(x, c, weights, *, dilations, stacks):
         wg = (w02[sl], w1[sl], wa[sl], wso[sl], bso[sl])
         x_pad, sk = _run_group(x_pad, c_pad, wg, dilations[sl], b=b,
                                nblk=nblk, cr=cr, ca=ca, t_signal=t,
-                               interpret=interpret)
+                               interpret=interpret, block=blk)
         skips = sk if skips is None else skips + sk
-    return x_pad[:, _BLOCK:_BLOCK + t, :cr], skips[:, :t]
+    return x_pad[:, blk:blk + t, :cr], skips[:, :t]
