@@ -142,11 +142,20 @@ def _wn_fold(v, g):
     return v * (g.reshape((-1,) + (1,) * (v.ndim - 1)) / norm)
 
 
+def _wn_weight(state, prefix):
+    """Weight of a (possibly) weight-normed paddle conv: read the plain
+    ``.weight`` when present (a ``remove_weight_norm``-ed dump, or a
+    gradient dict w.r.t. the folded weight), else fold (v, g)."""
+    if f"{prefix}.weight" in state:
+        return np.asarray(state[f"{prefix}.weight"])
+    return _wn_fold(state[f"{prefix}.weight_v"], state[f"{prefix}.weight_g"])
+
+
 def _wn_conv2d(state, prefix, bias=True):
     """paddle weight-normed Conv2D (O, I, kh, kw) -> folded flax
     {kernel (kh, kw, I, O)[, bias]} (weight norm is an inference no-op
     once folded; we train plain convs)."""
-    w = _wn_fold(state[f"{prefix}.weight_v"], state[f"{prefix}.weight_g"])
+    w = _wn_weight(state, prefix)
     out = {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32)}
     if bias:
         out["bias"] = state[f"{prefix}.bias"].astype(np.float32)
@@ -174,6 +183,11 @@ def convert_waveflow(state: Dict[str, np.ndarray],
       ones the reference allows (n_group must be even).
     - height dilations (n_group >= 32, waveflow.py:420-426) do not
       change parameter shapes; the model derives them from n_group.
+    - accepts both weight-normed dumps (``.weight_v``/``.weight_g``) and
+      pre-folded ones (plain ``.weight``, e.g. after the reference's
+      ``remove_weight_norm``); with plain weights every transform is a
+      pure reindexing, so the converter also maps gradient dicts
+      (tools/golden/run_parity.py uses this for WaveFlow grad parity).
     """
     for f in upsample_factors:
         if f % 2:
@@ -184,8 +198,7 @@ def convert_waveflow(state: Dict[str, np.ndarray],
 
     encoder: Dict[str, np.ndarray] = {}
     for i, _f in enumerate(upsample_factors):
-        w = _wn_fold(state[f"encoder.{i}.weight_v"],
-                     state[f"encoder.{i}.weight_g"])
+        w = _wn_weight(state, f"encoder.{i}")
         # (in=1, out=1, 3, 2f), flip both spatial axes -> (3, 2f, 1, 1)
         encoder[f"deconv_{i}_kernel"] = (
             w[0, 0, ::-1, ::-1][..., None, None].astype(np.float32))

@@ -22,6 +22,21 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+def _tree_diff(ours, gold):
+    """(max abs diff, mse) over two pytrees with identical structure,
+    matched by key path."""
+    flat_gold = dict(
+        (jax.tree_util.keystr(p), l) for p, l in
+        jax.tree_util.tree_leaves_with_path(gold))
+    diffs = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ours):
+        gl = flat_gold[jax.tree_util.keystr(path)]
+        diffs.append(np.abs(np.asarray(leaf, np.float64)
+                            - np.asarray(gl, np.float64)).reshape(-1))
+    flat = np.concatenate(diffs)
+    return float(flat.max()), float((flat ** 2).mean())
+
+
 def _metrics(ours, gold, valid_lens=None):
     ours, gold = np.asarray(ours, np.float64), np.asarray(gold, np.float64)
     if valid_lens is not None:
@@ -197,26 +212,14 @@ def check_pwg_gan_grads():
     gold_disc = convert_pwg_discriminator(gold_disc_paddle,
                                           layers=dcfg["layers"])
 
-    def tree_diff(ours, gold):
-        flat_gold = dict(
-            (jax.tree_util.keystr(p), l) for p, l in
-            jax.tree_util.tree_leaves_with_path(gold))
-        diffs = []
-        for path, leaf in jax.tree_util.tree_leaves_with_path(ours):
-            gl = flat_gold[jax.tree_util.keystr(path)]
-            diffs.append(np.abs(np.asarray(leaf, np.float64)
-                                - np.asarray(gl, np.float64)).reshape(-1))
-        flat = np.concatenate(diffs)
-        return float(flat.max()), float((flat ** 2).mean())
-
     return {
         "gen_loss": _metrics(np.asarray([float(gen_loss)]),
                              np.asarray([gold_metrics["generator_loss"]])),
         "disc_loss": _metrics(
             np.asarray([float(disc_loss)]),
             np.asarray([gold_metrics["discriminator_loss"]])),
-        "gen_grads": tree_diff(gen_grads, gold_gen),
-        "disc_grads": tree_diff(disc_grads, gold_disc),
+        "gen_grads": _tree_diff(gen_grads, gold_gen),
+        "disc_grads": _tree_diff(disc_grads, gold_disc),
     }
 
 
@@ -296,19 +299,9 @@ def check_fastspeech2_grads():
         predictor_layers=2, pitch_predictor_layers=2,
         energy_predictor_layers=2)
 
-    flat_ours = jax.tree_util.tree_leaves_with_path(grads)
-    flat_gold = dict(
-        (jax.tree_util.keystr(p), l) for p, l in
-        jax.tree_util.tree_leaves_with_path(gold_grads))
-    diffs = []
-    for path, leaf in flat_ours:
-        gl = flat_gold[jax.tree_util.keystr(path)]
-        diffs.append(np.abs(np.asarray(leaf, np.float64)
-                            - np.asarray(gl, np.float64)).reshape(-1))
-    flat = np.concatenate(diffs)
     return {"loss": _metrics(np.asarray([float(loss)]),
                              np.asarray([gold_loss])),
-            "grads": (float(flat.max()), float((flat ** 2).mean()))}
+            "grads": _tree_diff(grads, gold_grads)}
 
 
 def check_tacotron2():
@@ -488,16 +481,291 @@ def check_ge2e():
     return {k: _metrics(ours[k], gold[k]) for k in ours}
 
 
+def check_waveflow_grads():
+    """Training-numerics parity: d WaveFlowLoss / d params vs the fp64
+    torch oracle.  The oracle folds weight norm first (our model trains
+    plain convs), so the gradient mapping through convert_waveflow is a
+    pure reindexing."""
+    from parakeet_tpu.models.waveflow import (ConditionalWaveFlow,
+                                              waveflow_loss)
+    from parakeet_tpu.utils.convert import convert_waveflow
+    from tools.golden.fixtures import waveflow_state
+    from tools.golden.waveflow import golden_waveflow_loss_and_grads
+
+    state, cfg = waveflow_state()
+    params = convert_waveflow(state, n_flows=cfg["n_flows"],
+                              n_layers=cfg["n_layers"],
+                              upsample_factors=cfg["factors"])
+    model = ConditionalWaveFlow(
+        upsample_factors=cfg["factors"], n_flows=cfg["n_flows"],
+        n_layers=cfg["n_layers"], n_group=cfg["n_group"],
+        channels=cfg["channels"], n_mels=cfg["n_mels"])
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal((2, 64)).astype(np.float32)
+    mel = rng.standard_normal((2, 16, cfg["n_mels"])).astype(np.float32)
+
+    def loss_fn(p):
+        z, logdet = model.apply({"params": p}, jnp.asarray(audio),
+                                jnp.asarray(mel))
+        return waveflow_loss(z, logdet)["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+
+    gold_loss, gold_paddle = golden_waveflow_loss_and_grads(
+        state, audio, mel.transpose(0, 2, 1), n_flows=cfg["n_flows"],
+        n_layers=cfg["n_layers"], n_group=cfg["n_group"],
+        upsample_factors=cfg["factors"])
+    gold_grads = convert_waveflow(gold_paddle, n_flows=cfg["n_flows"],
+                                  n_layers=cfg["n_layers"],
+                                  upsample_factors=cfg["factors"])
+    return {"loss": _metrics(np.asarray([float(loss)]),
+                             np.asarray([gold_loss])),
+            "grads": _tree_diff(grads, gold_grads)}
+
+
+def check_ge2e_grads():
+    """Training-numerics parity: d GE2E loss / d params (including the
+    reference do_gradient_ops x0.01 (w, b) scaling) vs torch.nn.LSTM
+    autograd in fp64."""
+    from parakeet_tpu.models.lstm_speaker_encoder import (
+        LSTMSpeakerEncoder, ge2e_loss, scale_wb_gradients)
+    from parakeet_tpu.utils.convert import convert_ge2e
+    from tools.golden.fixtures import ge2e_state
+    from tools.golden.ge2e import golden_ge2e_loss_and_grads
+
+    state, cfg = ge2e_state()
+    params = convert_ge2e(state, num_layers=cfg["num_layers"])
+    model = LSTMSpeakerEncoder(n_mels=cfg["n_mels"],
+                               num_layers=cfg["num_layers"],
+                               hidden_size=cfg["hidden_size"],
+                               output_size=cfg["output_size"])
+    rng = np.random.default_rng(4)
+    n, m, t = 4, 5, 16
+    utts = rng.standard_normal((n * m, t, cfg["n_mels"])).astype(
+        np.float32)
+
+    def loss_fn(p):
+        embeds, (w, b) = model.apply(
+            {"params": p}, jnp.asarray(utts), n_speakers=n,
+            method=LSTMSpeakerEncoder.embed_sequences)
+        loss, _ = ge2e_loss(embeds, w, b)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    grads = scale_wb_gradients(grads)
+
+    gold_loss, gold_paddle = golden_ge2e_loss_and_grads(
+        state, utts, n, num_layers=cfg["num_layers"])
+    gold_grads = convert_ge2e(gold_paddle, num_layers=cfg["num_layers"])
+    return {"loss": _metrics(np.asarray([float(loss)]),
+                             np.asarray([gold_loss])),
+            "grads": _tree_diff(grads, gold_grads)}
+
+
+def check_tacotron2_grads():
+    """Training-numerics parity: d Tacotron2Loss (mel MSE + postnet MSE
+    + stop BCE + guided attention) / d params vs the fp64 torch oracle,
+    with train-mode BatchNorm — pins the LSTM-cell backward, the
+    location-sensitive-attention backward, and the stop/guided terms."""
+    from parakeet_tpu.models.tacotron2 import Tacotron2, tacotron2_loss
+    from parakeet_tpu.utils.convert import convert_tacotron2
+    from tools.golden.fixtures import tacotron2_state
+    from tools.golden.tacotron2 import golden_tacotron2_loss_and_grads
+
+    state, cfg = tacotron2_state()
+    params, batch_stats = convert_tacotron2(
+        state, encoder_conv_layers=cfg["encoder_conv_layers"],
+        postnet_conv_layers=cfg["postnet_conv_layers"],
+        use_stop_token=True)
+    model = Tacotron2(
+        vocab_size=cfg["vocab"], d_mels=cfg["d_mels"],
+        d_encoder=cfg["d_enc"], encoder_conv_layers=2,
+        encoder_kernel_size=3, d_prenet=cfg["d_prenet"],
+        d_attention_rnn=cfg["d_att_rnn"], d_decoder_rnn=cfg["d_dec_rnn"],
+        attention_filters=cfg["filters"],
+        attention_kernel_size=cfg["k_att"], d_attention=cfg["d_att"],
+        d_postnet=8, postnet_kernel_size=3, postnet_conv_layers=2,
+        reduction_factor=1, use_stop_token=True, p_prenet_dropout=0.0,
+        p_encoder_dropout=0.0, p_attention_dropout=0.0,
+        p_decoder_dropout=0.0, p_postnet_dropout=0.0)
+    rng = np.random.default_rng(5)
+    B, T_text, T_mel = 2, 5, 8
+    text = rng.integers(1, cfg["vocab"], (B, T_text))
+    mels = rng.standard_normal((B, T_mel, cfg["d_mels"])).astype(
+        np.float32)
+    ilens = np.full((B,), T_text)
+    olens = np.full((B,), T_mel)
+
+    def loss_fn(p):
+        outputs, _ = model.apply(
+            {"params": p,
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                                   batch_stats)},
+            jnp.asarray(text), jnp.asarray(ilens), jnp.asarray(mels),
+            jnp.asarray(olens), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return tacotron2_loss(
+            outputs, jnp.asarray(mels), jnp.asarray(olens),
+            jnp.asarray(ilens), use_stop_token_loss=True,
+            use_guided_attention_loss=True, sigma=0.4)["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+
+    gold_loss, gold_paddle = golden_tacotron2_loss_and_grads(
+        state, text, mels)
+    gold_grads, _ = convert_tacotron2(
+        gold_paddle, encoder_conv_layers=cfg["encoder_conv_layers"],
+        postnet_conv_layers=cfg["postnet_conv_layers"],
+        use_stop_token=True)
+    return {"loss": _metrics(np.asarray([float(loss)]),
+                             np.asarray([gold_loss])),
+            "grads": _tree_diff(grads, gold_grads)}
+
+
+def check_transformer_tts_grads():
+    """Training-numerics parity: d TransformerTTSLoss (masked L1 +
+    pos-weighted stop BCE) / d params vs the fp64 torch oracle with
+    train-mode postnet BN.  Equal speech lengths keep the train-mode BN
+    statistics padding-free; the encoder masking is still exercised by
+    unequal text lengths."""
+    from parakeet_tpu.models.transformer_tts import (TransformerTTS,
+                                                     transformer_tts_loss)
+    from parakeet_tpu.utils.convert import convert_transformer_tts
+    from tools.golden.fixtures import transformer_tts_state
+    from tools.golden.transformer_tts import (
+        golden_transformer_tts_loss_and_grads)
+
+    state, cfg = transformer_tts_state()
+    params, batch_stats = convert_transformer_tts(
+        state, elayers=1, dlayers=1, aheads=cfg["heads"],
+        dprenet_layers=2, postnet_layers=2)
+    model = TransformerTTS(
+        idim=cfg["idim"], odim=cfg["odim"], adim=cfg["adim"],
+        aheads=cfg["heads"], elayers=1, eunits=cfg["units"], dlayers=1,
+        dunits=cfg["units"], eprenet_conv_layers=0,
+        dprenet_units=cfg["dp_units"], postnet_layers=2, postnet_chans=8,
+        postnet_filts=3, reduction_factor=1,
+        transformer_enc_dropout_rate=0.0,
+        transformer_enc_positional_dropout_rate=0.0,
+        transformer_enc_attn_dropout_rate=0.0,
+        transformer_dec_dropout_rate=0.0,
+        transformer_dec_positional_dropout_rate=0.0,
+        transformer_dec_attn_dropout_rate=0.0,
+        transformer_enc_dec_attn_dropout_rate=0.0,
+        dprenet_dropout_rate=0.0, postnet_dropout_rate=0.0)
+    rng = np.random.default_rng(6)
+    B = 2
+    text = rng.integers(1, cfg["idim"] - 1, (B, 6))
+    text[1, 4:] = 0
+    tl = np.array([6, 4])
+    mels = rng.standard_normal((B, 8, cfg["odim"])).astype(np.float32)
+    ol = np.array([8, 8])
+
+    def loss_fn(p):
+        outputs, _ = model.apply(
+            {"params": p,
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                                   batch_stats)},
+            jnp.asarray(text), jnp.asarray(tl), jnp.asarray(mels),
+            jnp.asarray(ol), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return transformer_tts_loss(outputs, jnp.asarray(mels),
+                                    jnp.asarray(ol))["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+
+    gold_loss, gold_paddle = golden_transformer_tts_loss_and_grads(
+        state, text, tl, mels, ol, odim=cfg["odim"], eos=cfg["idim"] - 1,
+        heads=cfg["heads"])
+    gold_grads, _ = convert_transformer_tts(
+        gold_paddle, elayers=1, dlayers=1, aheads=cfg["heads"],
+        dprenet_layers=2, postnet_layers=2)
+    return {"loss": _metrics(np.asarray([float(loss)]),
+                             np.asarray([gold_loss])),
+            "grads": _tree_diff(grads, gold_grads)}
+
+
+def check_speedyspeech_grads():
+    """Training-numerics parity: d SpeedySpeech loss (L1 + (1 - SSIM) +
+    huber log-duration with the stop-gradient'd duration head) /
+    d params vs the fp64 torch oracle with train-mode NLC BatchNorm.
+    Equal total durations keep the BN statistics padding-free."""
+    from parakeet_tpu.models.speedyspeech import (SpeedySpeech,
+                                                  speedyspeech_loss)
+    from parakeet_tpu.utils.convert import convert_speedyspeech
+    from tools.golden.fixtures import speedyspeech_state
+    from tools.golden.speedyspeech import golden_speedyspeech_loss_and_grads
+
+    state, cfg = speedyspeech_state()
+    params, batch_stats = convert_speedyspeech(
+        state, encoder_dilations=cfg["enc_dil"],
+        decoder_dilations=cfg["dec_dil"])
+    model = SpeedySpeech(
+        vocab_size=cfg["vocab"], encoder_hidden_size=cfg["hidden"],
+        encoder_dilations=cfg["enc_dil"],
+        duration_predictor_hidden_size=cfg["hidden"],
+        decoder_hidden_size=cfg["hidden"],
+        decoder_output_size=cfg["odim"],
+        decoder_dilations=cfg["dec_dil"], tone_size=cfg["tones"])
+    rng = np.random.default_rng(7)
+    B, T = 2, 7
+    text = rng.integers(1, cfg["vocab"], (B, T))
+    tone_ids = rng.integers(1, cfg["tones"], (B, T))
+    durs = rng.integers(1, 3, (B, T))
+    durs[:, -1] += durs.sum(1).max() - durs.sum(1)  # equal totals
+    tot = int(durs.sum(1).max())
+    feats = rng.standard_normal((B, tot, cfg["odim"])).astype(np.float32)
+    batch = {"feats": jnp.asarray(feats),
+             "num_frames": jnp.full((B,), tot),
+             "num_phones": jnp.full((B,), T),
+             "durations": jnp.asarray(durs)}
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p,
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                                   batch_stats)},
+            jnp.asarray(text), jnp.asarray(durs), jnp.asarray(tone_ids),
+            max_frames=tot, deterministic=False,
+            mutable=["batch_stats"])
+        return speedyspeech_loss(out, batch)["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+
+    gold_loss, gold_paddle = golden_speedyspeech_loss_and_grads(
+        state, text, tone_ids, durs, feats,
+        encoder_dilations=cfg["enc_dil"],
+        decoder_dilations=cfg["dec_dil"])
+    gold_grads, _ = convert_speedyspeech(
+        gold_paddle, encoder_dilations=cfg["enc_dil"],
+        decoder_dilations=cfg["dec_dil"])
+    return {"loss": _metrics(np.asarray([float(loss)]),
+                             np.asarray([gold_loss])),
+            "grads": _tree_diff(grads, gold_grads)}
+
+
 CHECKS = {
     "fastspeech2": check_fastspeech2,
     "fastspeech2_grads": check_fastspeech2_grads,
     "parallel_wavegan": check_pwg,
     "pwg_gan_grads": check_pwg_gan_grads,
     "tacotron2": check_tacotron2,
+    "tacotron2_grads": check_tacotron2_grads,
     "transformer_tts": check_transformer_tts,
+    "transformer_tts_grads": check_transformer_tts_grads,
     "speedyspeech": check_speedyspeech,
+    "speedyspeech_grads": check_speedyspeech_grads,
     "waveflow": check_waveflow,
+    "waveflow_grads": check_waveflow_grads,
     "ge2e": check_ge2e,
+    "ge2e_grads": check_ge2e_grads,
 }
 
 

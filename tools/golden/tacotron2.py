@@ -20,7 +20,10 @@ DT = torch.float64
 
 
 def _t(state, key):
-    return torch.as_tensor(np.asarray(state[key]), dtype=DT)
+    v = state[key]
+    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
+        return v if v.dtype == DT else v.to(DT)
+    return torch.as_tensor(np.asarray(v), dtype=DT)
 
 
 def _linear(state, prefix, x, bias=True):
@@ -38,9 +41,15 @@ def _conv_nlc(state, prefix, x, bias=True):
     return F.conv1d(x.transpose(1, 2), w, b, padding=pad).transpose(1, 2)
 
 
-def _bn_eval(state, prefix, x):
-    """BatchNorm1D eval over the last axis of (B, T, C)."""
-    mean, var = _t(state, f"{prefix}._mean"), _t(state, f"{prefix}._variance")
+def _bn(state, prefix, x, train=False):
+    """BatchNorm1D over the last axis of (B, T, C); ``train`` uses
+    minibatch statistics (over B and T) instead of running stats."""
+    if train:
+        mean = x.mean(dim=(0, 1))
+        var = x.var(dim=(0, 1), unbiased=False)
+    else:
+        mean = _t(state, f"{prefix}._mean")
+        var = _t(state, f"{prefix}._variance")
     w, b = _t(state, f"{prefix}.weight"), _t(state, f"{prefix}.bias")
     return (x - mean) / torch.sqrt(var + 1e-5) * w + b
 
@@ -76,6 +85,19 @@ def golden_tacotron2_forward(state, text, mels, *, reduction_factor=1,
     """Teacher-forced forward with full-length inputs (no padding).
     text (B, T_text) int, mels (B, T_mel, d_mels).  Returns dict of
     float64 numpy arrays."""
+    out = _forward(state, text, mels, reduction_factor=reduction_factor,
+                   encoder_conv_layers=encoder_conv_layers,
+                   postnet_conv_layers=postnet_conv_layers,
+                   use_stop_token=use_stop_token)
+    return {k: v.detach().numpy() for k, v in out.items()}
+
+
+def _forward(state, text, mels, *, reduction_factor=1,
+             encoder_conv_layers=2, postnet_conv_layers=2,
+             use_stop_token=True, bn_train=False):
+    """Torch-tensor forward (grad-capable when ``state`` holds
+    requires_grad tensors).  ``bn_train``: encoder/postnet BatchNorm
+    uses minibatch statistics (what a train step does)."""
     text = torch.as_tensor(np.asarray(text)).long()
     mels = torch.as_tensor(np.asarray(mels), dtype=DT)
     B = text.shape[0]
@@ -83,8 +105,8 @@ def golden_tacotron2_forward(state, text, mels, *, reduction_factor=1,
     x = _t(state, "embedding.weight")[text]
     for i in range(encoder_conv_layers):
         p = f"encoder.conv_batchnorms.{i}"
-        x = F.relu(_bn_eval(state, f"{p}.bn",
-                            _conv_nlc(state, f"{p}.conv", x)))
+        x = F.relu(_bn(state, f"{p}.bn",
+                       _conv_nlc(state, f"{p}.conv", x), train=bn_train))
     fwd = _lstm_seq(state, "encoder.lstm", x, "_l0")
     rev = _lstm_seq(state, "encoder.lstm", torch.flip(x, [1]),
                     "_l0_reverse")
@@ -146,12 +168,73 @@ def golden_tacotron2_forward(state, text, mels, *, reduction_factor=1,
     y = mel
     for i in range(postnet_conv_layers):
         p = f"postnet.conv_batchnorms.{i}"
-        y = _bn_eval(state, f"{p}.bn", _conv_nlc(state, f"{p}.conv", y))
+        y = _bn(state, f"{p}.bn", _conv_nlc(state, f"{p}.conv", y),
+                train=bn_train)
         if i != postnet_conv_layers - 1:
             y = torch.tanh(y)
-    out = {"mel_output": mel.numpy(),
-           "mel_outputs_postnet": (mel + y).numpy(),
-           "alignments": torch.stack(aligns, dim=1).numpy()}
+    out = {"mel_output": mel,
+           "mel_outputs_postnet": mel + y,
+           "alignments": torch.stack(aligns, dim=1)}
     if use_stop_token:
-        out["stop_logits"] = torch.cat(stops, dim=1).numpy()
+        out["stop_logits"] = torch.cat(stops, dim=1)
     return out
+
+
+def golden_tacotron2_loss_and_grads(state, text, mels, *,
+                                    stop_pos_weight=8.0, sigma=0.4,
+                                    **kw):
+    """Training-numerics oracle: d Tacotron2Loss / d params in fp64.
+
+    Loss mirrors the reference Tacotron2Loss (tacotron2.py:886-980)
+    with full-length inputs (no padding; the oracle forward does not
+    model masks): mel MSE + postnet MSE + stop BCE-with-logits
+    (``pos_weight``, one-hot label at the final decoder step) + guided
+    attention loss (W = 1 - exp(-(n/N - t/T)^2 / 2 sigma^2), mean over
+    batch of sum(W*A)/(N*T)).  Encoder/postnet BN runs in train mode;
+    conv biases feeding train-mode BN are no-ops (their oracle grads
+    are ~0 and our model folds them away).  LSTM bias_ih/bias_hh enter
+    only as their sum, so their grads are equal; ``bias_hh*`` entries
+    are zeroed so the converter's bias fold maps gradients exactly.
+    Returns (loss float, {paddle name: fp64 numpy grad}).
+    """
+    grad_state = {}
+    for k, v in state.items():
+        t = torch.as_tensor(np.asarray(v), dtype=DT)
+        if not (k.endswith("._mean") or k.endswith("._variance")):
+            t = t.clone().requires_grad_(True)
+        grad_state[k] = t
+
+    out = _forward(grad_state, text, mels, bn_train=True, **kw)
+    ys = torch.as_tensor(np.asarray(mels), dtype=DT)
+    B, t_dec, d_mels = ys.shape
+    n_el = float(B * t_dec * d_mels)
+    mel_loss = (out["mel_output"] - ys).pow(2).sum() / n_el
+    post_loss = (out["mel_outputs_postnet"] - ys).pow(2).sum() / n_el
+    loss = mel_loss + post_loss
+
+    logits = out["stop_logits"].reshape(B, -1)
+    n_steps = logits.shape[1]
+    labels = (torch.arange(n_steps).unsqueeze(0)
+              == (n_steps - 1)).to(DT).expand(B, n_steps)
+    log_p = F.logsigmoid(logits)
+    log_not_p = F.logsigmoid(-logits)
+    per = -(stop_pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
+    loss = loss + per.mean()
+
+    attn = out["alignments"]                       # (B, n_steps, T_enc)
+    t_enc = attn.shape[-1]
+    dec_pos = torch.arange(n_steps, dtype=DT) / n_steps
+    enc_pos = torch.arange(t_enc, dtype=DT) / t_enc
+    w = 1.0 - torch.exp(
+        -((dec_pos[:, None] - enc_pos[None, :]) ** 2) / (2 * sigma ** 2))
+    loss = loss + ((w * attn).sum(dim=(1, 2))
+                   / float(n_steps * t_enc)).mean()
+    loss.backward()
+
+    grads = {}
+    for k, t in grad_state.items():
+        if t.grad is None or ".bias_hh" in k:
+            grads[k] = np.zeros(t.shape, np.float64)
+        else:
+            grads[k] = t.grad.numpy()
+    return float(loss.detach()), grads

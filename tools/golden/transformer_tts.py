@@ -24,6 +24,22 @@ def golden_transformer_tts_forward(state, text, ilens, speech, olens, *,
                                    postnet_layers=2, reduction_factor=1):
     """text (B, Tmax) int (without eos), speech (B, Lmax, odim).
     Returns dict of float64 numpy arrays."""
+    out = _forward(state, text, ilens, speech, olens, odim=odim, eos=eos,
+                   heads=heads, elayers=elayers, dlayers=dlayers,
+                   dprenet_layers=dprenet_layers,
+                   postnet_layers=postnet_layers,
+                   reduction_factor=reduction_factor)
+    return {k: out[k].detach().numpy()
+            for k in ("before_outs", "after_outs", "stop_logits")}
+
+
+def _forward(state, text, ilens, speech, olens, *,
+             odim, eos, heads=2, elayers=1,
+             dlayers=1, dprenet_layers=2,
+             postnet_layers=2, reduction_factor=1, bn_train=False):
+    """Torch-tensor forward (grad-capable when ``state`` holds
+    requires_grad tensors).  ``bn_train``: postnet BatchNorm uses
+    minibatch statistics (what a train step does)."""
     text = torch.as_tensor(np.asarray(text)).long()
     ilens = torch.as_tensor(np.asarray(ilens)).long()
     ys = torch.as_tensor(np.asarray(speech), dtype=DT)
@@ -85,15 +101,68 @@ def golden_transformer_tts_forward(state, text, ilens, speech, olens, *,
     for i in range(postnet_layers):
         pp = f"postnet.postnet.{i}"
         p = _conv1d_ncl(state, f"{pp}.0", p, bias=False)
-        mean, var = _t(state, f"{pp}.1._mean"), _t(state, f"{pp}.1._variance")
+        if bn_train:
+            mean = p.mean(dim=(0, 2))
+            var = p.var(dim=(0, 2), unbiased=False)
+        else:
+            mean = _t(state, f"{pp}.1._mean")
+            var = _t(state, f"{pp}.1._variance")
         w, b = _t(state, f"{pp}.1.weight"), _t(state, f"{pp}.1.bias")
         p = (p - mean[:, None]) / torch.sqrt(var[:, None] + 1e-5) \
             * w[:, None] + b[:, None]
         if i != postnet_layers - 1:
             p = torch.tanh(p)
     after = before + p.transpose(1, 2)
-    return {"before_outs": before.numpy(), "after_outs": after.numpy(),
-            "stop_logits": logits.numpy()}
+    return {"before_outs": before, "after_outs": after,
+            "stop_logits": logits}
+
+
+def golden_transformer_tts_loss_and_grads(state, text, ilens, speech,
+                                          olens, *, odim, eos,
+                                          bce_pos_weight=5.0, **kw):
+    """Training-numerics oracle: d TransformerTTSLoss / d params in fp64.
+
+    Loss mirrors the reference TransformerTTSLoss with use_masking=True
+    and loss_type="L1" (transformer_tts.py:770-873): masked mean L1 on
+    before+after outs plus masked BCE-with-logits on the stop head with
+    ``pos_weight`` and one-hot labels at the final valid frame.  Postnet
+    BN runs in train mode.  BN running stats (buffers) get zero grads.
+    Returns (loss float, {paddle name: fp64 numpy grad}).
+    """
+    grad_state = {}
+    for k, v in state.items():
+        t = torch.as_tensor(np.asarray(v), dtype=DT)
+        if not (k.endswith("._mean") or k.endswith("._variance")):
+            t = t.clone().requires_grad_(True)
+        grad_state[k] = t
+
+    out = _forward(grad_state, text, ilens, speech, olens, odim=odim,
+                   eos=eos, bn_train=True, **kw)
+    ys = torch.as_tensor(np.asarray(speech), dtype=DT)
+    olens_t = torch.as_tensor(np.asarray(olens)).long()
+    t_dec = ys.shape[1]
+    idx = torch.arange(t_dec).unsqueeze(0)
+    mask = (idx < olens_t.unsqueeze(1)).to(DT)            # (B, L)
+    m3 = mask.unsqueeze(-1)
+    denom = (m3.sum() * odim).clamp(min=1.0)
+    l1 = ((out["before_outs"] - ys).abs() * m3).sum() / denom \
+        + ((out["after_outs"] - ys).abs() * m3).sum() / denom
+    labels = (idx == (olens_t - 1).unsqueeze(1)).to(DT)
+    logits = out["stop_logits"]
+    log_p = F.logsigmoid(logits)
+    log_not_p = F.logsigmoid(-logits)
+    per = -(bce_pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
+    bce = (per * mask).sum() / mask.sum().clamp(min=1.0)
+    loss = l1 + bce
+    loss.backward()
+
+    grads = {}
+    for k, t in grad_state.items():
+        if t.grad is None:
+            grads[k] = np.zeros(t.shape, np.float64)
+        else:
+            grads[k] = t.grad.numpy()
+    return float(loss.detach()), grads
 
 
 def _mha_cross(state, prefix, q_in, kv_in, mask_keep, heads):

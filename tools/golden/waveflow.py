@@ -17,14 +17,19 @@ DT = torch.float64
 
 
 def _wn(state, prefix):
-    v = torch.as_tensor(np.asarray(state[f"{prefix}.weight_v"]), dtype=DT)
-    g = torch.as_tensor(np.asarray(state[f"{prefix}.weight_g"]), dtype=DT)
+    if f"{prefix}.weight" in state:   # pre-folded (grad-oracle path)
+        return _t(state, f"{prefix}.weight")
+    v = _t(state, f"{prefix}.weight_v")
+    g = _t(state, f"{prefix}.weight_g")
     norm = v.flatten(1).norm(dim=1).reshape((-1,) + (1,) * (v.ndim - 1))
     return v * (g.reshape_as(norm) / norm)
 
 
 def _t(state, key):
-    return torch.as_tensor(np.asarray(state[key]), dtype=DT)
+    v = state[key]
+    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
+        return v if v.dtype == DT else v.to(DT)
+    return torch.as_tensor(np.asarray(v), dtype=DT)
 
 
 def _perms(n_group, n_flows):
@@ -44,6 +49,17 @@ def golden_waveflow_forward(state, audio, mel_ncl, *, n_flows, n_layers,
                             n_group, upsample_factors, kernel_size=(3, 3)):
     """audio (B, T), mel (B, n_mels, T_mel) -> (z (B, T), log_det scalar),
     float64 numpy."""
+    z, log_det = _forward_t(state, audio, mel_ncl, n_flows=n_flows,
+                            n_layers=n_layers, n_group=n_group,
+                            upsample_factors=upsample_factors,
+                            kernel_size=kernel_size)
+    return z.detach().numpy(), float(log_det.detach())
+
+
+def _forward_t(state, audio, mel_ncl, *, n_flows, n_layers,
+               n_group, upsample_factors, kernel_size=(3, 3)):
+    """Torch-tensor forward (grad-capable when ``state`` holds
+    requires_grad tensors)."""
     x = torch.as_tensor(np.asarray(audio), dtype=DT)
     c = torch.as_tensor(np.asarray(mel_ncl), dtype=DT)
 
@@ -113,4 +129,51 @@ def golden_waveflow_forward(state, audio, mel_ncl, *, n_flows, n_layers,
 
     z = x.squeeze(1).transpose(1, 2).reshape(B, -1)
     log_det = sum(l.sum() for l in logs_all)
-    return z.numpy(), float(log_det)
+    return z, log_det
+
+
+def golden_waveflow_loss_and_grads(state, audio, mel_ncl, *, sigma=1.0,
+                                   n_flows, n_layers, n_group,
+                                   upsample_factors):
+    """Training-numerics oracle: d WaveFlowLoss / d params in fp64.
+
+    Loss mirrors the reference WaveFlowLoss (waveflow.py:855-892):
+    (sum(z^2) / (2 sigma^2) - log_det) / numel(z) + const, with
+    const = log(2 pi)/2 + log(sigma).
+
+    Weight-normed convs are folded to plain ``.weight`` leaves first
+    (our JAX WaveFlow trains plain convs — convert_waveflow folds at
+    load), so the returned gradient dict is keyed by ``{prefix}.weight``
+    and maps through ``convert_waveflow(..., pre-folded)`` as a pure
+    reindexing.  Returns (loss float, {name: fp64 numpy grad}).
+    """
+    import math
+
+    grad_state = {}
+    for k, v in state.items():
+        if k.endswith(".weight_g"):
+            continue
+        if k.endswith(".weight_v"):
+            prefix = k[: -len(".weight_v")]
+            v_np = np.asarray(state[k], np.float64)
+            g_np = np.asarray(state[f"{prefix}.weight_g"], np.float64)
+            axes = tuple(range(1, v_np.ndim))
+            norm = np.sqrt((v_np ** 2).sum(axis=axes, keepdims=True))
+            w = v_np * (g_np.reshape((-1,) + (1,) * (v_np.ndim - 1)) / norm)
+            grad_state[f"{prefix}.weight"] = torch.as_tensor(
+                w, dtype=DT).clone().requires_grad_(True)
+        else:
+            grad_state[k] = torch.as_tensor(
+                np.asarray(v), dtype=DT).clone().requires_grad_(True)
+
+    z, log_det = _forward_t(grad_state, audio, mel_ncl, n_flows=n_flows,
+                            n_layers=n_layers, n_group=n_group,
+                            upsample_factors=upsample_factors)
+    n = z.numel()
+    const = 0.5 * math.log(2 * math.pi) + math.log(sigma)
+    loss = (z.pow(2).sum() / (2 * sigma * sigma) - log_det) / n + const
+    loss.backward()
+    grads = {k: (t.grad.detach().numpy() if t.grad is not None
+                 else np.zeros(t.shape, np.float64))
+             for k, t in grad_state.items()}
+    return float(loss.detach()), grads
