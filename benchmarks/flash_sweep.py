@@ -94,14 +94,20 @@ def main():
             # each point runs in its own process: a RESOURCE_EXHAUSTED
             # at long T (a legitimate result for dense) would otherwise
             # poison subsequent allocations in this process
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import sys; sys.path.insert(0, "
-                 f"{str(Path(__file__).parent)!r}); "
-                 "from flash_sweep import bench_point; "
-                 f"print('RESULT', bench_point({frames}, {batch}, "
-                 f"{args.iters}, {impl!r}, {args.dtype!r}))"],
-                capture_output=True, text=True, timeout=3000)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c",
+                     "import sys; sys.path.insert(0, "
+                     f"{str(Path(__file__).parent)!r}); "
+                     "from flash_sweep import bench_point; "
+                     f"print('RESULT', bench_point({frames}, {batch}, "
+                     f"{args.iters}, {impl!r}, {args.dtype!r}))"],
+                    capture_output=True, text=True, timeout=3000)
+            except subprocess.TimeoutExpired:
+                # a hung tunnel / over-long Pallas compile is a result
+                # for this point, not a reason to abort the sweep
+                row[impl] = "failed: timeout after 3000s"
+                continue
             out = [ln for ln in proc.stdout.splitlines()
                    if ln.startswith("RESULT ")]
             if proc.returncode == 0 and out:

@@ -200,7 +200,15 @@ def make_pp_layer_runner(mesh: Mesh, axis: str = "model", *,
                 mask, ((0, pad),) + ((0, 0),) * (mask.ndim - 1),
                 constant_values=True)
         if not deterministic and dropout_key is not None:
-            mb_ids = jnp.arange(b_pad) // max(b_pad // m, 1)
+            # one id per (data shard, shard-local microbatch): shard_map
+            # splits the batch over data_axis FIRST, then each shard
+            # cuts its local rows into m microbatches — ids derived from
+            # the global microbatch size would repeat across shards and
+            # reuse dropout masks between distinct microbatches.
+            b_local = b_pad // dsize
+            rows = jnp.arange(b_pad)
+            mb_ids = ((rows // b_local) * m
+                      + (rows % b_local) // max(b_local // m, 1))
             state["key"] = jax.vmap(
                 lambda i: jax.random.fold_in(dropout_key, i))(mb_ids)
         sp = {"params": stacked_params, "idx": jnp.arange(n_layers)}

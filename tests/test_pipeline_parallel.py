@@ -118,6 +118,43 @@ def test_pipeline_composes_with_data_parallel():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pp_dropout_keys_unique_per_shard_microbatch():
+    """Regression: under DP x PP the dropout key must differ per
+    (data shard, shard-local microbatch).  Ids derived from the GLOBAL
+    microbatch size repeat across data shards, so both local
+    microbatches of a shard got the same key — identical dropout masks
+    for different examples."""
+    from parakeet_tpu.nn.transformer import EncoderLayer
+    from parakeet_tpu.parallel.pipeline import make_pp_layer_runner
+
+    layer = EncoderLayer(d_model=D, n_heads=4, units=2 * D,
+                         dropout_rate=0.5)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "model"))
+    runner = make_pp_layer_runner(mesh, "model", n_microbatches=2)
+    rng = np.random.default_rng(4)
+    row = rng.standard_normal((1, T, D)).astype(np.float32)
+    x = jnp.asarray(np.repeat(row, 8, axis=0))       # identical rows
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    stacked = jax.vmap(
+        lambda k: layer.init(k, x[:1], None)["params"])(keys)
+
+    out = np.asarray(runner(layer, stacked, x, None,
+                            deterministic=False,
+                            dropout_key=jax.random.PRNGKey(7)))
+    # identical inputs, so equal keys leave identical microbatch
+    # outputs; shard 0 = rows 0-3 (local microbatches 0-1 / 2-3),
+    # shard 1 = rows 4-7
+    assert not np.allclose(out[0:2], out[2:4])
+    assert not np.allclose(out[4:6], out[6:8])
+    assert not np.allclose(out[0:2], out[4:6])
+    # same key -> same masks (the stream stays deterministic)
+    out2 = np.asarray(runner(layer, stacked, x, None,
+                             deterministic=False,
+                             dropout_key=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(out, out2)
+
+
 def test_pipeline_divisibility_errors():
     params, x, _ = _mlp_setup()
     with pytest.raises(ValueError, match="not divisible"):

@@ -15,14 +15,11 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-DT = torch.float64
+from .common import DT, grads_of, make_grad_state, to_tensor
 
 
 def _t(state, key):
-    v = state[key]
-    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
-        return v if v.dtype == DT else v.to(DT)
-    return torch.as_tensor(np.asarray(v), dtype=DT)
+    return to_tensor(state[key])
 
 
 def _linear(state, prefix, x):
@@ -221,13 +218,7 @@ def golden_fastspeech2_loss_and_grads(state, text, ilens, speech,
     (loss float, {param_name: grad float64 numpy}); BN running stats
     (buffers, not trained) get zero grads.
     """
-    grad_state = {}
-    for k, v in state.items():
-        t = torch.as_tensor(np.asarray(v), dtype=DT)
-        if not (k.endswith("._mean") or k.endswith("._variance")):
-            t = t.clone().requires_grad_(True)
-        grad_state[k] = t
-
+    grad_state = make_grad_state(state)
     out = _forward(grad_state, text, ilens, durations, pitch, energy,
                    bn_train=True, **kw)
     ys = torch.as_tensor(np.asarray(speech), dtype=DT)
@@ -250,11 +241,4 @@ def golden_fastspeech2_loss_and_grads(state, text, ilens, speech,
         / im3.sum().clamp(min=1.0)
     loss = l1 + dur + pitch_l + energy_l
     loss.backward()
-
-    grads = {}
-    for k, t in grad_state.items():
-        if t.grad is None:
-            grads[k] = np.zeros(t.shape, np.float64)
-        else:
-            grads[k] = t.grad.numpy()
-    return float(loss.detach()), grads
+    return float(loss.detach()), grads_of(grad_state)

@@ -19,14 +19,11 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-DT = torch.float64
+from .common import DT, to_tensor
 
 
 def _t(state, key):
-    v = state[key]
-    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
-        return v if v.dtype == DT else v.to(DT)
-    return torch.as_tensor(np.asarray(v), dtype=DT)
+    return to_tensor(state[key])
 
 
 def _forward_t(state, utterances, n_speakers, *, num_layers=3,

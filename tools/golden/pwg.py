@@ -14,11 +14,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-
-def _f64(v):
-    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
-        return v if v.dtype == torch.float64 else v.to(torch.float64)
-    return torch.as_tensor(v, dtype=torch.float64)
+from .common import make_grad_state, to_tensor as _f64
 
 
 def _wn(state, prefix):
@@ -143,15 +139,8 @@ def golden_pwg_gan_grads(gen_state, disc_state, noise_ncl, mel_ncl, wav,
     Returns (metrics dict, gen_grads {paddle name: fp64 np},
     disc_grads).  fp64 end to end.
     """
-    def to_grad_state(state):
-        out = {}
-        for k, v in state.items():
-            out[k] = torch.as_tensor(
-                v, dtype=torch.float64).clone().requires_grad_(True)
-        return out
-
-    gs = to_grad_state(gen_state)
-    ds = to_grad_state(disc_state)
+    gs = make_grad_state(gen_state)
+    ds = make_grad_state(disc_state)
     wav_t = _f64(wav)
 
     fake = golden_pwg_forward_t(gs, noise_ncl, mel_ncl, **gen_cfg)

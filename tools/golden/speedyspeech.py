@@ -13,14 +13,11 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-DT = torch.float64
+from .common import DT, grads_of, make_grad_state, to_tensor
 
 
 def _t(state, key):
-    v = state[key]
-    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
-        return v if v.dtype == DT else v.to(DT)
-    return torch.as_tensor(np.asarray(v), dtype=DT)
+    return to_tensor(state[key])
 
 
 def _linear(state, prefix, x):
@@ -174,13 +171,7 @@ def golden_speedyspeech_loss_and_grads(state, text, tones, durations,
     running stats (buffers) get zero grads.
     Returns (loss float, {paddle name: fp64 numpy grad}).
     """
-    grad_state = {}
-    for k, v in state.items():
-        t = torch.as_tensor(np.asarray(v), dtype=DT)
-        if not (k.endswith("._mean") or k.endswith("._variance")):
-            t = t.clone().requires_grad_(True)
-        grad_state[k] = t
-
+    grad_state = make_grad_state(state)
     decoded, pred_log_d = _forward(
         grad_state, text, tones, durations, bn_train=True,
         encoder_dilations=encoder_dilations,
@@ -195,11 +186,4 @@ def golden_speedyspeech_loss_and_grads(state, text, tones, durations,
     huber = torch.where(a <= 1.0, 0.5 * err ** 2, a - 0.5)
     loss = l1 + (1.0 - ssim_val) + huber.mean()
     loss.backward()
-
-    grads = {}
-    for k, t in grad_state.items():
-        if t.grad is None:
-            grads[k] = np.zeros(t.shape, np.float64)
-        else:
-            grads[k] = t.grad.numpy()
-    return float(loss.detach()), grads
+    return float(loss.detach()), grads_of(grad_state)

@@ -16,14 +16,11 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-DT = torch.float64
+from .common import DT, grads_of, make_grad_state, to_tensor
 
 
 def _t(state, key):
-    v = state[key]
-    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
-        return v if v.dtype == DT else v.to(DT)
-    return torch.as_tensor(np.asarray(v), dtype=DT)
+    return to_tensor(state[key])
 
 
 def _linear(state, prefix, x, bias=True):
@@ -197,13 +194,7 @@ def golden_tacotron2_loss_and_grads(state, text, mels, *,
     are zeroed so the converter's bias fold maps gradients exactly.
     Returns (loss float, {paddle name: fp64 numpy grad}).
     """
-    grad_state = {}
-    for k, v in state.items():
-        t = torch.as_tensor(np.asarray(v), dtype=DT)
-        if not (k.endswith("._mean") or k.endswith("._variance")):
-            t = t.clone().requires_grad_(True)
-        grad_state[k] = t
-
+    grad_state = make_grad_state(state)
     out = _forward(grad_state, text, mels, bn_train=True, **kw)
     ys = torch.as_tensor(np.asarray(mels), dtype=DT)
     B, t_dec, d_mels = ys.shape
@@ -230,11 +221,8 @@ def golden_tacotron2_loss_and_grads(state, text, mels, *,
     loss = loss + ((w * attn).sum(dim=(1, 2))
                    / float(n_steps * t_enc)).mean()
     loss.backward()
-
-    grads = {}
-    for k, t in grad_state.items():
-        if t.grad is None or ".bias_hh" in k:
-            grads[k] = np.zeros(t.shape, np.float64)
-        else:
-            grads[k] = t.grad.numpy()
+    grads = grads_of(grad_state)
+    for k in grads:
+        if ".bias_hh" in k:           # see docstring: fold-duplicate
+            grads[k] = np.zeros_like(grads[k])
     return float(loss.detach()), grads

@@ -14,7 +14,8 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-from .fastspeech2 import (DT, _conv1d_ncl, _encoder_stack, _layernorm_last,
+from .common import DT, grads_of, make_grad_state
+from .fastspeech2 import (_conv1d_ncl, _encoder_stack, _layernorm_last,
                           _linear, _mha, _pos_table, _t)
 
 
@@ -129,13 +130,7 @@ def golden_transformer_tts_loss_and_grads(state, text, ilens, speech,
     BN runs in train mode.  BN running stats (buffers) get zero grads.
     Returns (loss float, {paddle name: fp64 numpy grad}).
     """
-    grad_state = {}
-    for k, v in state.items():
-        t = torch.as_tensor(np.asarray(v), dtype=DT)
-        if not (k.endswith("._mean") or k.endswith("._variance")):
-            t = t.clone().requires_grad_(True)
-        grad_state[k] = t
-
+    grad_state = make_grad_state(state)
     out = _forward(grad_state, text, ilens, speech, olens, odim=odim,
                    eos=eos, bn_train=True, **kw)
     ys = torch.as_tensor(np.asarray(speech), dtype=DT)
@@ -155,14 +150,7 @@ def golden_transformer_tts_loss_and_grads(state, text, ilens, speech,
     bce = (per * mask).sum() / mask.sum().clamp(min=1.0)
     loss = l1 + bce
     loss.backward()
-
-    grads = {}
-    for k, t in grad_state.items():
-        if t.grad is None:
-            grads[k] = np.zeros(t.shape, np.float64)
-        else:
-            grads[k] = t.grad.numpy()
-    return float(loss.detach()), grads
+    return float(loss.detach()), grads_of(grad_state)
 
 
 def _mha_cross(state, prefix, q_in, kv_in, mask_keep, heads):

@@ -13,7 +13,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-DT = torch.float64
+from .common import DT, grads_of, to_tensor
 
 
 def _wn(state, prefix):
@@ -26,10 +26,7 @@ def _wn(state, prefix):
 
 
 def _t(state, key):
-    v = state[key]
-    if isinstance(v, torch.Tensor):   # grad-oracle path: pass through
-        return v if v.dtype == DT else v.to(DT)
-    return torch.as_tensor(np.asarray(v), dtype=DT)
+    return to_tensor(state[key])
 
 
 def _perms(n_group, n_flows):
@@ -173,7 +170,4 @@ def golden_waveflow_loss_and_grads(state, audio, mel_ncl, *, sigma=1.0,
     const = 0.5 * math.log(2 * math.pi) + math.log(sigma)
     loss = (z.pow(2).sum() / (2 * sigma * sigma) - log_det) / n + const
     loss.backward()
-    grads = {k: (t.grad.detach().numpy() if t.grad is not None
-                 else np.zeros(t.shape, np.float64))
-             for k, t in grad_state.items()}
-    return float(loss.detach()), grads
+    return float(loss.detach()), grads_of(grad_state)
