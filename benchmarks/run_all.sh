@@ -17,6 +17,7 @@ run python bench.py
 run python benchmarks/waveflow_rtf.py
 run python benchmarks/waveflow_rtf.py --dtype bfloat16
 run python benchmarks/serving_throughput.py
+run python benchmarks/serving_throughput.py --dtype bfloat16
 run python benchmarks/ar_decode.py
 run python benchmarks/train_fastspeech2.py --iters 20
 run python benchmarks/train_fastspeech2.py --iters 20 --dtype bfloat16
@@ -25,6 +26,7 @@ run python benchmarks/train_fastspeech2.py --iters 20 --dtype bfloat16 --attn-im
 run python benchmarks/train_pwgan.py --iters 20
 run python benchmarks/train_pwgan.py --iters 20 --dtype bfloat16
 run python benchmarks/train_pwgan.py --iters 20 --stack-impl pallas
+run python benchmarks/train_pwgan.py --iters 20 --stack-impl pallas --dtype bfloat16
 run python benchmarks/flash_sweep.py --iters 10
 run python benchmarks/longform_rtf.py --iters 5
 
