@@ -328,10 +328,14 @@ class Tacotron2(nn.Module):
 def tacotron2_loss(outputs, mels, output_lengths, text_lengths,
                    *, use_stop_token_loss: bool = True,
                    use_guided_attention_loss: bool = False,
-                   sigma: float = 0.4, stop_pos_weight: float = 8.0):
+                   sigma: float = 0.2, stop_pos_weight: float = 1.0):
     """MSE + postnet-MSE (+ stop BCE with one-hot-at-end labels, + guided
     attention), mirroring the reference Tacotron2Loss
-    (tacotron2.py:886-980).  All terms masked by output_lengths."""
+    (tacotron2.py:886-980): defaults match its sigma=0.2 and unweighted
+    BCEWithLogitsLoss (pos_weight=1).  Intentional deviation: all terms
+    are masked by output_lengths (the reference averages over padding
+    too); ``stop_pos_weight`` is kept configurable for recipes that want
+    the weighted-stop variant."""
     t_dec = mels.shape[1]
     mask = sequence_mask(output_lengths, t_dec).astype(mels.dtype)
     m3 = mask[..., None]

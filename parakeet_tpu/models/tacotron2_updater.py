@@ -46,7 +46,7 @@ def init_tacotron2_train_state(model, tx, rng, sample_batch) -> TrainState:
 def make_tacotron2_train_step(model, tx, *,
                               use_stop_token_loss: bool = True,
                               use_guided_attention_loss: bool = False,
-                              sigma: float = 0.4, jit: bool = True):
+                              sigma: float = 0.2, jit: bool = True):
     def train_step(state: TrainState, batch):
         rng, dropout_rng = jax.random.split(state.rng)
 
@@ -81,7 +81,7 @@ def make_tacotron2_train_step(model, tx, *,
 
 def make_tacotron2_eval_step(model, *, use_stop_token_loss: bool = True,
                              use_guided_attention_loss: bool = False,
-                             sigma: float = 0.4, jit: bool = True):
+                             sigma: float = 0.2, jit: bool = True):
     def eval_step(state: TrainState, batch):
         variables = {"params": state.params}
         if state.batch_stats is not None:

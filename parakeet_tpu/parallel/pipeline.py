@@ -206,9 +206,12 @@ def make_pp_layer_runner(mesh: Mesh, axis: str = "model", *,
             # the global microbatch size would repeat across shards and
             # reuse dropout masks between distinct microbatches.
             b_local = b_pad // dsize
+            assert b_local % m == 0, (
+                f"b_pad={b_pad} must pad to a multiple of m*dsize "
+                f"({m}*{dsize}); got shard-local batch {b_local}")
             rows = jnp.arange(b_pad)
             mb_ids = ((rows // b_local) * m
-                      + (rows % b_local) // max(b_local // m, 1))
+                      + (rows % b_local) // (b_local // m))
             state["key"] = jax.vmap(
                 lambda i: jax.random.fold_in(dropout_key, i))(mb_ids)
         sp = {"params": stacked_params, "idx": jnp.arange(n_layers)}

@@ -14,9 +14,30 @@ Standalone CLI:
 from __future__ import annotations
 
 import json
+import re
 from typing import List
 
 __all__ = ["xplane_to_chrome_trace", "main"]
+
+# Stat names that describe memory state.  Events carrying one of these
+# become Chrome counter tracks (ph "C") alongside the op events, matching
+# the reference converter's memory counter emission
+# (reference: parakeet/utils/timeline.py:268-280 emits a "Memory" counter
+# per allocation event).  XLA/TF profiler dumps put these on op events
+# (e.g. "bytes_in_use", "peak_bytes_in_use") or dedicated allocator
+# lines, depending on backend.
+_MEMORY_STAT_RE = re.compile(
+    r"(?i)(bytes_in_use|peak_bytes|bytes_reserved|bytes_allocated|"
+    r"heap_size|free_memory|memory_bw|_memory_bytes|allocated_bytes)")
+
+
+def _stat_value(stat):
+    """Extract whichever value field an XStat carries."""
+    for field in ("int64_value", "uint64_value", "double_value"):
+        v = getattr(stat, field, 0)
+        if v:
+            return v
+    return None
 
 
 def _load_xspace(path):
@@ -46,12 +67,27 @@ def xplane_to_chrome_trace(path) -> List[dict]:
             base_ns = line.timestamp_ns
             for ev in line.events:
                 meta = plane.event_metadata[ev.metadata_id]
+                ts_us = (base_ns + ev.offset_ps / 1e3) / 1e3
                 events.append({
                     "ph": "X", "pid": pid, "tid": tid,
                     "name": meta.name,
-                    "ts": (base_ns + ev.offset_ps / 1e3) / 1e3,  # us
+                    "ts": ts_us,                                 # us
                     "dur": ev.duration_ps / 1e6,                 # us
                 })
+                # memory stats on the event -> counter track (ph "C"),
+                # one per (plane, stat name), like the reference's
+                # Memory counter (timeline.py:268-280).
+                for stat in ev.stats:
+                    sname = plane.stat_metadata[stat.metadata_id].name
+                    if not _MEMORY_STAT_RE.search(sname):
+                        continue
+                    val = _stat_value(stat)
+                    if val is None:
+                        continue
+                    events.append({
+                        "ph": "C", "pid": pid, "name": sname,
+                        "ts": ts_us, "args": {sname: val},
+                    })
     return events
 
 

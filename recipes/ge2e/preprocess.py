@@ -6,9 +6,12 @@ examples/ge2e/audio_processor.py:110-173 + preprocess.py): resample,
 loudness-normalize, voice-activity trim, then write one (T, n_mels)
 log-mel .npy per utterance under <output>/<speaker>/.
 
-The reference trims silence with webrtcvad (a C extension); this uses a
-moving-average energy gate with the same window/hop geometry — pure
-numpy, no native dependency, equivalent behavior on clean corpora.
+The reference trims silence with webrtcvad (a C extension); this swaps
+only the per-window speech decision for an energy gate and keeps the
+reference's post-decision pipeline verbatim (moving average, rounding,
+silence dilation).  Trim-boundary agreement with a webrtcvad-pipeline
+oracle is asserted in tests/test_recipes_smoke.py
+(test_ge2e_vad_matches_webrtcvad_oracle).
 
 Usage:
   python preprocess.py --input datasets/LibriSpeech/train-clean-100 \
@@ -39,21 +42,48 @@ def normalize_volume(wav, target_dbfs=-30.0):
     return wav * (10 ** ((target_dbfs - dbfs) / 20))
 
 
-def energy_vad(wav, fs, window_ms=30, smooth_windows=8,
-               threshold_db=-40.0):
-    """Boolean sample mask: moving-average energy gate (stands in for the
-    reference's webrtcvad trim, audio_processor.py:110-145)."""
-    win = max(1, int(fs * window_ms / 1000))
+def vad_postprocess(voice_flags, moving_average_width=8,
+                    max_silence_length=6):
+    """Reference webrtcvad post-processing, ported exactly
+    (audio_processor.py:90-106): zero-padded moving average over the
+    per-window speech flags, round to bool, then binary-dilate with a
+    ``ones(max_silence_length + 1)`` structuring element so short
+    internal silences are bridged.  Returns the per-window keep mask."""
+    w = moving_average_width
+    arr = np.concatenate((np.zeros((w - 1) // 2),
+                          np.asarray(voice_flags, float),
+                          np.zeros(w // 2)))
+    ret = np.cumsum(arr, dtype=float)
+    ret[w:] = ret[w:] - ret[:-w]
+    smoothed = ret[w - 1:] / w
+    mask = np.round(smoothed).astype(bool)
+    from scipy.ndimage import binary_dilation
+    return binary_dilation(mask, np.ones(max_silence_length + 1))
+
+
+def energy_vad(wav, fs, window_ms=30, moving_average_width=8,
+               max_silence_length=6, threshold_db=-40.0):
+    """Boolean sample mask standing in for the reference's webrtcvad
+    trim (audio_processor.py:60-107).
+
+    The per-window speech decision is an energy gate (webrtcvad's GMM
+    classifier is a C extension; on clean corpora both reduce to "does
+    the window contain signal energy").  Everything downstream of the
+    per-window decision — moving-average smoothing, rounding, silence
+    dilation, repeat-to-samples — is the reference pipeline ported
+    verbatim (``vad_postprocess``); trim-boundary agreement against
+    that oracle is asserted in tests/test_vocoder_speaker.py."""
+    win = max(1, (window_ms * fs) // 1000)
     n = len(wav) // win
     if n == 0:
         return np.ones(len(wav), bool)
     frames = wav[:n * win].reshape(n, win)
     db = 10 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
     voiced = db > threshold_db
-    kernel = np.ones(smooth_windows) / smooth_windows
-    voiced = np.convolve(voiced.astype(np.float32), kernel,
-                         mode="same") > 0.25
-    mask = np.repeat(voiced, win)
+    mask = np.repeat(vad_postprocess(voiced, moving_average_width,
+                                     max_silence_length), win)
+    # the reference drops the sub-window tail entirely (wav is cut to a
+    # multiple of the window before VAD); mask it out here instead.
     return np.pad(mask, (0, len(wav) - len(mask)), constant_values=False)
 
 

@@ -208,3 +208,75 @@ def test_ge2e_dataset_adapters(tmp_path):
     _run(RECIPES / "ge2e" / "preprocess.py", "--input", gen_root.parent,
          "--output", out, "--min-frames", 10)
     assert list((out / "spkA").glob("*.npy"))
+
+
+def test_ge2e_vad_matches_webrtcvad_oracle():
+    """Trim-boundary agreement between the recipe's energy VAD and the
+    reference webrtcvad pipeline (audio_processor.py:60-107), measured
+    on synthetic utterances with leading / trailing / short-internal /
+    long-internal silences.
+
+    The oracle re-implements the reference's post-decision pipeline
+    independently here (moving average -> round -> binary dilation ->
+    repeat) and feeds it the ground-truth per-window speech flags known
+    from construction — exactly what webrtcvad mode 3 returns on clean
+    audio where silence is ~-80 dBFS and speech is full-scale harmonics.
+    """
+    import runpy
+
+    from scipy.ndimage import binary_dilation
+
+    mod = runpy.run_path(
+        str(RECIPES / "ge2e" / "preprocess.py"), run_name="not_main")
+    energy_vad = mod["energy_vad"]
+
+    fs = 16000
+    win = (30 * fs) // 1000           # reference vad_window_length=30ms
+
+    def speech(n_win, f0=130.0):
+        """Klatt-flavored voiced segment: harmonic stack under a two-
+        formant envelope (F1≈500 Hz, F2≈1500 Hz), ~-12 dBFS."""
+        t = np.arange(n_win * win) / fs
+        x = np.zeros_like(t)
+        for k in range(1, 20):
+            f = k * f0
+            env = (1.0 / (1 + ((f - 500) / 300) ** 2)
+                   + 0.6 / (1 + ((f - 1500) / 400) ** 2))
+            x += env * np.sin(2 * np.pi * f * t + 0.7 * k)
+        return 0.25 * x / np.max(np.abs(x))
+
+    def silence(n_win, rng):
+        return 1e-4 * rng.standard_normal(n_win * win)  # ~-80 dBFS
+
+    rng = np.random.default_rng(0)
+    # windows: 20 sil | 30 sp | 4 sil (bridged) | 30 sp | 25 sil | 30 sp | 20 sil
+    layout = [(20, 0), (30, 1), (4, 0), (30, 1), (25, 0), (30, 1), (20, 0)]
+    wav = np.concatenate([speech(n) if v else silence(n, rng)
+                          for n, v in layout])
+    flags = np.concatenate([np.full(n, bool(v)) for n, v in layout])
+
+    # oracle: the reference's smoothing exactly (audio_processor.py:90-106)
+    width, max_sil = 8, 6
+    padded = np.concatenate((np.zeros((width - 1) // 2),
+                             flags.astype(float), np.zeros(width // 2)))
+    c = np.cumsum(padded, dtype=float)
+    c[width:] = c[width:] - c[:-width]
+    oracle_win = np.round(c[width - 1:] / width).astype(bool)
+    oracle_win = binary_dilation(oracle_win, np.ones(max_sil + 1))
+    oracle = np.repeat(oracle_win, win)
+
+    got = energy_vad(wav, fs)
+    assert got.shape == oracle.shape
+    assert np.array_equal(got, oracle)
+
+    # sanity on the oracle itself: the 4-window silence is bridged,
+    # the 25-window one is trimmed, lead/tail silences are dropped
+    w = oracle_win
+    assert w[20:84].all()                      # sp|4 sil|sp fully kept
+    assert not w[:15].any() and not w[-15:].any()
+    assert (~w[88:109]).sum() >= 10            # long silence mostly cut
+
+    # sub-window tail remainder is masked out (reference cuts it off)
+    wav_tail = np.concatenate([wav, speech(1)[: win // 3]])
+    got_tail = energy_vad(wav_tail, fs)
+    assert not got_tail[-(win // 3):].any()

@@ -100,3 +100,42 @@ def test_xplane_trace_to_chrome_and_op_table(tmp_path):
     names = {r[0] for r in rows}
     assert any("fusion" in n or "dot" in n or "jit" in n.lower()
                for n in names)
+
+
+def test_xplane_memory_counter_events(tmp_path):
+    """Memory stats on xplane events become Chrome counter tracks
+    (ph "C"), matching the reference converter's Memory counters
+    (reference: parakeet/utils/timeline.py:268-280).  CPU dumps carry no
+    memory stats, so synthesize an XSpace with a ``bytes_in_use`` stat
+    and run it through the real serializer + parser path."""
+    xplane_pb2 = pytest.importorskip(
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2")
+
+    xs = xplane_pb2.XSpace()
+    plane = xs.planes.add(name="/device:TPU:0")
+    plane.event_metadata[1].id = 1
+    plane.event_metadata[1].name = "fusion.1"
+    plane.stat_metadata[1].id = 1
+    plane.stat_metadata[1].name = "bytes_in_use"
+    plane.stat_metadata[2].id = 2
+    plane.stat_metadata[2].name = "flops"     # non-memory: no counter
+    line = plane.lines.add(name="XLA Ops", timestamp_ns=1000)
+    ev = line.events.add(metadata_id=1, offset_ps=2000, duration_ps=500)
+    st = ev.stats.add(metadata_id=1)
+    st.uint64_value = 123456
+    st2 = ev.stats.add(metadata_id=2)
+    st2.int64_value = 99
+
+    dump = tmp_path / "synthetic.xplane.pb"
+    dump.write_bytes(xs.SerializeToString())
+
+    from parakeet_tpu.utils.timeline import xplane_to_chrome_trace
+    events = xplane_to_chrome_trace(str(dump))
+    counters = [e for e in events if e["ph"] == "C"]
+    assert counters == [{
+        "ph": "C", "pid": 0, "name": "bytes_in_use",
+        "ts": counters[0]["ts"], "args": {"bytes_in_use": 123456},
+    }]
+    assert counters[0]["ts"] == pytest.approx(1.002)  # us
+    # the op event itself is still emitted
+    assert any(e["ph"] == "X" and e["name"] == "fusion.1" for e in events)

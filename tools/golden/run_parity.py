@@ -317,12 +317,14 @@ def check_tacotron2():
         use_stop_token=True)
     model = Tacotron2(
         vocab_size=cfg["vocab"], d_mels=cfg["d_mels"],
-        d_encoder=cfg["d_enc"], encoder_conv_layers=2,
+        d_encoder=cfg["d_enc"],
+        encoder_conv_layers=cfg["encoder_conv_layers"],
         encoder_kernel_size=3, d_prenet=cfg["d_prenet"],
         d_attention_rnn=cfg["d_att_rnn"], d_decoder_rnn=cfg["d_dec_rnn"],
         attention_filters=cfg["filters"],
         attention_kernel_size=cfg["k_att"], d_attention=cfg["d_att"],
-        d_postnet=8, postnet_kernel_size=3, postnet_conv_layers=2,
+        d_postnet=8, postnet_kernel_size=3,
+        postnet_conv_layers=cfg["postnet_conv_layers"],
         reduction_factor=1, use_stop_token=True, p_prenet_dropout=0.0,
         p_encoder_dropout=0.0, p_attention_dropout=0.0,
         p_decoder_dropout=0.0, p_postnet_dropout=0.0)
@@ -581,12 +583,14 @@ def check_tacotron2_grads():
         use_stop_token=True)
     model = Tacotron2(
         vocab_size=cfg["vocab"], d_mels=cfg["d_mels"],
-        d_encoder=cfg["d_enc"], encoder_conv_layers=2,
+        d_encoder=cfg["d_enc"],
+        encoder_conv_layers=cfg["encoder_conv_layers"],
         encoder_kernel_size=3, d_prenet=cfg["d_prenet"],
         d_attention_rnn=cfg["d_att_rnn"], d_decoder_rnn=cfg["d_dec_rnn"],
         attention_filters=cfg["filters"],
         attention_kernel_size=cfg["k_att"], d_attention=cfg["d_att"],
-        d_postnet=8, postnet_kernel_size=3, postnet_conv_layers=2,
+        d_postnet=8, postnet_kernel_size=3,
+        postnet_conv_layers=cfg["postnet_conv_layers"],
         reduction_factor=1, use_stop_token=True, p_prenet_dropout=0.0,
         p_encoder_dropout=0.0, p_attention_dropout=0.0,
         p_decoder_dropout=0.0, p_postnet_dropout=0.0)
@@ -610,7 +614,7 @@ def check_tacotron2_grads():
         return tacotron2_loss(
             outputs, jnp.asarray(mels), jnp.asarray(olens),
             jnp.asarray(ilens), use_stop_token_loss=True,
-            use_guided_attention_loss=True, sigma=0.4)["loss"]
+            use_guided_attention_loss=True)["loss"]
 
     loss, grads = jax.value_and_grad(loss_fn)(
         jax.tree_util.tree_map(jnp.asarray, params))

@@ -178,14 +178,15 @@ def _forward(state, text, mels, *, reduction_factor=1,
 
 
 def golden_tacotron2_loss_and_grads(state, text, mels, *,
-                                    stop_pos_weight=8.0, sigma=0.4,
+                                    stop_pos_weight=1.0, sigma=0.2,
                                     **kw):
     """Training-numerics oracle: d Tacotron2Loss / d params in fp64.
 
-    Loss mirrors the reference Tacotron2Loss (tacotron2.py:886-980)
-    with full-length inputs (no padding; the oracle forward does not
-    model masks): mel MSE + postnet MSE + stop BCE-with-logits
-    (``pos_weight``, one-hot label at the final decoder step) + guided
+    Loss mirrors the reference Tacotron2Loss (tacotron2.py:886-980),
+    defaults included (sigma=0.2, unweighted stop BCE i.e.
+    pos_weight=1), with full-length inputs (no padding; the oracle
+    forward does not model masks): mel MSE + postnet MSE + stop
+    BCE-with-logits (one-hot label at the final decoder step) + guided
     attention loss (W = 1 - exp(-(n/N - t/T)^2 / 2 sigma^2), mean over
     batch of sum(W*A)/(N*T)).  Encoder/postnet BN runs in train mode;
     conv biases feeding train-mode BN are no-ops (their oracle grads
