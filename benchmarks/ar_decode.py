@@ -62,14 +62,15 @@ def bench_tacotron2(steps, iters, dtype):
     return elapsed / steps * 1000, mfu_stats(flops, elapsed, dtype)
 
 
-def bench_transformer_tts(steps, iters, dtype):
+def bench_transformer_tts(steps, iters, dtype, reduction_factor=1):
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import TransformerTTS
 
     from parakeet_tpu.training.config import resolve_model_kwargs
     dt = resolve_model_kwargs({"dtype": dtype})["dtype"]
-    model = TransformerTTS(idim=80, odim=80, dtype=dt)
+    model = TransformerTTS(idim=80, odim=80, dtype=dt,
+                           reduction_factor=reduction_factor)
     text = jnp.asarray(np.random.default_rng(0).integers(
         1, 80, (1, 96)).astype(np.int64))
     tl = jnp.asarray(np.array([96], np.int64))
@@ -114,15 +115,30 @@ def main():
                              "stay fp32")
     parser.add_argument("--models", nargs="+",
                         default=["tacotron2", "transformer_tts"])
+    parser.add_argument("--reduction-factor", type=int, default=1,
+                        help="transformer_tts frames per decode step "
+                             "(reference transformer_tts.py:462-510 "
+                             "thins the teacher frames by r)")
     args = parser.parse_args()
 
+    # frames/s at the ljspeech config (22050 Hz, hop 256): the
+    # acoustic-model-only RTF each step rate implies
+    frame_rate = 22050 / 256
+
     for name in args.models:
-        fn = {"tacotron2": bench_tacotron2,
-              "transformer_tts": bench_transformer_tts}[name]
-        ms, mfu = fn(args.steps, args.iters, args.dtype)
+        if name == "transformer_tts":
+            ms, mfu = bench_transformer_tts(
+                args.steps, args.iters, args.dtype,
+                args.reduction_factor)
+            r = args.reduction_factor
+        else:
+            ms, mfu = bench_tacotron2(args.steps, args.iters, args.dtype)
+            r = 1
+        am_rtf = (ms / 1000.0) * frame_rate / r
         print(json.dumps({"metric": f"{name}_decode_ms_per_step",
                           "value": round(ms, 4), "unit": "ms/step",
-                          "dtype": args.dtype, **mfu}))
+                          "dtype": args.dtype, "reduction_factor": r,
+                          "am_only_rtf": round(am_rtf, 5), **mfu}))
 
 
 if __name__ == "__main__":

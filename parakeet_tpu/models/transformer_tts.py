@@ -300,6 +300,16 @@ class TransformerTTS(nn.Module):
 
         cross_mask = enc_mask[:, None, None, :]
         positions = jnp.arange(t_max)
+        # cross-attention K/V are loop-invariant: project the encoder
+        # memory once here instead of 2*dlayers matmuls per decode step
+        # (the reference recomputes them every step,
+        # transformer_tts.py:600-660)
+        cross_kvs = self.decoder.precompute_cross_kv(hs)
+        # positional-encoding rows, hoisted: one table outside the loop,
+        # a dynamic row slice per step (vs re-deriving sin/cos in-loop)
+        from ..ops.positional import sinusoid_position_encoding
+        pe_table = sinusoid_position_encoding(t_max, self.adim,
+                                              dtype=self.dtype)
 
         def step(mdl, carry, _):
             caches, prev, finished, t = carry
@@ -307,9 +317,11 @@ class TransformerTTS(nn.Module):
             # self-attention mask over the fixed cache: valid <= t
             self_mask = (positions[None, None, None, :] <= t)
             self_mask = jnp.broadcast_to(self_mask, (b, 1, 1, t_max))
+            pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1)[None]
             zs, _, cross_attn, new_caches = mdl.decoder(
                 d_in, hs, self_mask, cross_mask,
-                deterministic=deterministic, caches=caches, start_pos=t)
+                deterministic=deterministic, caches=caches, start_pos=t,
+                cross_kvs=cross_kvs, pos_pe=pe_row)
             frame = mdl.feat_out(zs[:, -1]).reshape(b, r, mdl.odim)
             logits = mdl.prob_out(zs[:, -1]).reshape(b, r)
             hit = jnp.any(jax.nn.sigmoid(logits) > threshold, axis=-1)

@@ -47,11 +47,16 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
-                 start_pos: int = 0) -> jnp.ndarray:
+                 start_pos: int = 0, pe: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
         t = x.shape[1]
-        pe = sinusoid_position_encoding(t, self.d_model,
-                                        start_pos=start_pos,
-                                        dtype=self.dtype)[None]
+        if pe is None:
+            pe = sinusoid_position_encoding(t, self.d_model,
+                                            start_pos=start_pos,
+                                            dtype=self.dtype)[None]
+        # else: caller precomputed the (1, t, d) PE rows (AR decode
+        # slices a hoisted full table instead of re-deriving sin/cos
+        # inside the loop)
         if self.scaled:
             alpha = self.param(
                 "alpha", nn.initializers.constant(self.init_alpha), (1,))
@@ -86,15 +91,51 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_core: Optional[Callable] = None
 
-    @nn.compact
-    def __call__(self, query, key, value, mask=None, *,
-                 deterministic: bool = True, cache=None):
+    def setup(self):
         d_k = self.d_model // self.n_heads
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            (self.n_heads, d_k), dtype=self.dtype, name=name)
-        q = dense("q")(query)                       # (B, Tq, H, dk)
-        k = dense("k")(key)
-        v = dense("v")(value)
+        heads = (self.n_heads, d_k)
+        self.q = nn.DenseGeneral(heads, dtype=self.dtype)
+        self.k = nn.DenseGeneral(heads, dtype=self.dtype)
+        self.v = nn.DenseGeneral(heads, dtype=self.dtype)
+        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                   dtype=self.dtype)
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def project_kv(self, key, value):
+        """Projected (K, V) heads — for hoisting loop-invariant
+        cross-attention projections out of an AR decode loop (pass the
+        result back via ``kv=``)."""
+        return self.k(key), self.v(value)
+
+    def __call__(self, query, key, value, mask=None, *,
+                 deterministic: bool = True, cache=None, kv=None):
+        d_k = self.d_model // self.n_heads
+        if (cache is not None and "index" in cache
+                and query is key and key is value
+                and not self.is_initializing()):
+            # AR-decode self-attention fast path: one fused QKV matmul.
+            # The decode while-loop streams every weight tensor from HBM
+            # each step (profiled: the step is dominated by weight
+            # slice/copy ops, not FLOPs), so one (d, 3*d) operand beats
+            # three (d, d) ones; the concat of loop-invariant params is
+            # hoisted out of the loop by XLA.  Same math bit-for-bit per
+            # output column.
+            d = query.shape[-1]
+            ps = [m.variables["params"] for m in (self.q, self.k, self.v)]
+            w = jnp.concatenate(
+                [p["kernel"].reshape(d, -1) for p in ps],
+                axis=1).astype(self.dtype)           # (d, 3*H*dk)
+            bias = jnp.concatenate(
+                [p["bias"].reshape(-1) for p in ps]).astype(self.dtype)
+            qkv = query.astype(self.dtype) @ w + bias
+            q, k, v = (a.reshape(query.shape[:-1] + (self.n_heads, d_k))
+                       for a in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = self.q(query)                       # (B, Tq, H, dk)
+            if kv is not None:
+                k, v = kv
+            else:
+                k, v = self.k(key), self.v(value)
         if self.attn_core is not None:
             # cores built by make_auto_attn_core fall back to the dense
             # path (instead of raising) for configurations no custom
@@ -113,12 +154,9 @@ class MultiHeadAttention(nn.Module):
                         "(set the rate to 0 or train with the dense "
                         "path)")
             else:
-                out = self.attn_core(q, k, v, mask)
-                if out is not None:
-                    out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
-                                          dtype=self.dtype, name="out")(
-                        out.astype(self.dtype))
-                    return out, None, None
+                core_out = self.attn_core(q, k, v, mask)
+                if core_out is not None:
+                    return self.out(core_out.astype(self.dtype)), None, None
         new_cache = None
         if cache is not None:
             if "index" in cache:
@@ -145,14 +183,11 @@ class MultiHeadAttention(nn.Module):
             scores = jnp.where(mask, scores, _NEG_INF)
         attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
             self.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn,
-                                             deterministic=deterministic)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(
             self.dtype)
-        out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype,
-                              name="out")(out)
-        return out, attn, new_cache
+        return self.out(out), attn, new_cache
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -377,56 +412,69 @@ class DecoderLayer(nn.Module):
     concat_after: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, memory, self_mask=None, cross_mask=None, *,
-                 deterministic: bool = True, cache=None):
-        residual = x
-        if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        sa_out, sa_w, new_cache = MultiHeadAttention(
+    def setup(self):
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn = MultiHeadAttention(
             self.n_heads, self.d_model, self.attn_dropout_rate,
-            dtype=self.dtype, name="self_attn")(
-                x, x, x, self_mask, deterministic=deterministic, cache=cache)
-        if self.concat_after:
-            x = residual + nn.Dense(self.d_model, dtype=self.dtype,
-                                    name="concat_proj1")(
-                jnp.concatenate([x, sa_out], axis=-1))
-        else:
-            x = residual + nn.Dropout(self.dropout_rate)(
-                sa_out, deterministic=deterministic)
-        if not self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-
-        residual = x
-        if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            dtype=self.dtype)
         src_rate = (self.attn_dropout_rate
                     if self.src_attn_dropout_rate is None
                     else self.src_attn_dropout_rate)
-        ca_out, ca_w, _ = MultiHeadAttention(
-            self.n_heads, self.d_model, src_rate,
-            dtype=self.dtype, name="src_attn")(
-                x, memory, memory, cross_mask, deterministic=deterministic)
+        self.src_attn = MultiHeadAttention(
+            self.n_heads, self.d_model, src_rate, dtype=self.dtype)
+        self.ff = PositionwiseFeedForward(
+            self.units, self.d_model, self.dropout_rate, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
         if self.concat_after:
-            x = residual + nn.Dense(self.d_model, dtype=self.dtype,
-                                    name="concat_proj2")(
-                jnp.concatenate([x, ca_out], axis=-1))
+            self.concat_proj1 = nn.Dense(self.d_model, dtype=self.dtype)
+            self.concat_proj2 = nn.Dense(self.d_model, dtype=self.dtype)
+
+    def cross_kv(self, memory):
+        """This layer's projected cross-attention (K, V) over the
+        encoder memory — loop-invariant during AR decode; precompute
+        once and pass back via ``cross_kv=``."""
+        return self.src_attn.project_kv(memory, memory)
+
+    def __call__(self, x, memory, self_mask=None, cross_mask=None, *,
+                 deterministic: bool = True, cache=None, cross_kv=None):
+        residual = x
+        if self.normalize_before:
+            x = self.norm1(x)
+        sa_out, sa_w, new_cache = self.self_attn(
+            x, x, x, self_mask, deterministic=deterministic, cache=cache)
+        if self.concat_after:
+            x = residual + self.concat_proj1(
+                jnp.concatenate([x, sa_out], axis=-1))
         else:
-            x = residual + nn.Dropout(self.dropout_rate)(
-                ca_out, deterministic=deterministic)
+            x = residual + self.dropout(sa_out,
+                                        deterministic=deterministic)
         if not self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = self.norm1(x)
 
         residual = x
         if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        ff = PositionwiseFeedForward(
-            self.units, self.d_model, self.dropout_rate,
-            dtype=self.dtype, name="ff")(x, deterministic=deterministic)
-        x = residual + nn.Dropout(self.dropout_rate)(
-            ff, deterministic=deterministic)
+            x = self.norm2(x)
+        ca_out, ca_w, _ = self.src_attn(
+            x, memory, memory, cross_mask, deterministic=deterministic,
+            kv=cross_kv)
+        if self.concat_after:
+            x = residual + self.concat_proj2(
+                jnp.concatenate([x, ca_out], axis=-1))
+        else:
+            x = residual + self.dropout(ca_out,
+                                        deterministic=deterministic)
         if not self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            x = self.norm2(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.norm3(x)
+        ff = self.ff(x, deterministic=deterministic)
+        x = residual + self.dropout(ff, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm3(x)
         return x, (sa_w, ca_w), new_cache
 
 
@@ -450,34 +498,51 @@ class TransformerDecoder(nn.Module):
     input_layer: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, xs, memory, self_mask=None, cross_mask=None, *,
-                 deterministic: bool = True, caches=None, start_pos: int = 0):
-        x = xs
+    def setup(self):
         if self.input_layer == "linear":
-            x = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
-        x = PositionalEncoding(
+            self.input_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.pos_enc = PositionalEncoding(
             self.d_model, self.positional_dropout_rate,
             scaled=self.use_scaled_pos_enc, init_alpha=self.init_alpha,
-            dtype=self.dtype,
-            name="pos_enc")(x, deterministic=deterministic,
-                            start_pos=start_pos)
+            dtype=self.dtype)
+        self.layers = [DecoderLayer(
+            self.d_model, self.n_heads, self.units,
+            self.dropout_rate, self.attn_dropout_rate,
+            self.src_attn_dropout_rate,
+            self.normalize_before, self.concat_after,
+            dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(dtype=self.dtype)
+
+    def precompute_cross_kv(self, memory):
+        """Per-layer cross-attention (K, V) projections of the encoder
+        memory — loop-invariant during AR decode.  Hoist this out of
+        the decode scan and feed the result back via ``cross_kvs=``;
+        it removes the two largest matmuls per layer per step."""
+        return [layer.cross_kv(memory) for layer in self.layers]
+
+    def __call__(self, xs, memory, self_mask=None, cross_mask=None, *,
+                 deterministic: bool = True, caches=None, start_pos: int = 0,
+                 cross_kvs=None, pos_pe=None):
+        x = xs
+        if self.input_layer == "linear":
+            x = self.input_proj(x)
+        x = self.pos_enc(x, deterministic=deterministic,
+                         start_pos=start_pos, pe=pos_pe)
         self_attns, cross_attns, new_caches = [], [], []
-        for i in range(self.num_layers):
+        for i, layer in enumerate(self.layers):
             cache_i = None if caches is None else caches[i]
-            x, (sa, ca), nc = DecoderLayer(
-                self.d_model, self.n_heads, self.units,
-                self.dropout_rate, self.attn_dropout_rate,
-                self.src_attn_dropout_rate,
-                self.normalize_before, self.concat_after,
-                dtype=self.dtype, name=f"layer_{i}")(
-                    x, memory, self_mask, cross_mask,
-                    deterministic=deterministic, cache=cache_i)
+            kv_i = None if cross_kvs is None else cross_kvs[i]
+            x, (sa, ca), nc = layer(
+                x, memory, self_mask, cross_mask,
+                deterministic=deterministic, cache=cache_i,
+                cross_kv=kv_i)
             self_attns.append(sa)
             cross_attns.append(ca)
             new_caches.append(nc)
         if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = self.after_norm(x)
         out = (x, jnp.stack(self_attns), jnp.stack(cross_attns))
         if caches is not None:
             return out + (new_caches,)

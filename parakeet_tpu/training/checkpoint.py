@@ -26,17 +26,33 @@ import numpy as np
 
 __all__ = [
     "load_variables","flatten_tree", "unflatten_tree", "save_pytree", "load_pytree",
-           "SnapshotRing", "latest_record"]
+           "SnapshotRing", "latest_record", "resolve_record_path"]
 
 _SEP = "::"
 
 
+def _leaf_to_host(leaf) -> np.ndarray:
+    """Leaf -> full (global-shape) host ndarray, whatever its sharding.
+
+    Checkpoints are topology-free: a TP/PP-sharded train state saves as
+    the gathered global arrays, so a snapshot written under one mesh
+    resumes under any other (re-placement happens on load, see
+    StandardUpdater.load).  Fully-addressable arrays (single process,
+    incl. sharded-over-local-devices) gather via ``np.asarray``; multi-
+    host-sharded leaves all-gather across processes first.
+    """
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def flatten_tree(tree) -> Dict[str, np.ndarray]:
-    """Pytree -> {path::to::leaf: host ndarray}."""
+    """Pytree -> {path::to::leaf: full host ndarray} (gathers shards)."""
     flat: Dict[str, np.ndarray] = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = _SEP.join(_key_str(k) for k in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = _leaf_to_host(leaf)
     return flat
 
 
@@ -115,8 +131,19 @@ def load_pytree(path, template=None):
     return flat, metadata
 
 
+def resolve_record_path(record: dict, directory) -> str:
+    """A record's snapshot path, resolved against ``directory``.
+
+    Records store the snapshot filename relative to the checkpoint
+    directory so an experiment dir can be copied or moved wholesale
+    (absolute paths from older ledgers still resolve as-is)."""
+    p = Path(record["path"])
+    return str(p if p.is_absolute() else Path(directory) / p)
+
+
 def latest_record(directory) -> Optional[dict]:
-    """Newest record from ``records.jsonl`` in ``directory`` (or None)."""
+    """Newest record from ``records.jsonl`` in ``directory`` (or None;
+    the record's ``path`` is resolved against ``directory``)."""
     records_path = Path(directory) / "records.jsonl"
     if not records_path.exists():
         return None
@@ -126,6 +153,8 @@ def latest_record(directory) -> Optional[dict]:
             line = line.strip()
             if line:
                 last = json.loads(line)
+    if last is not None:
+        last["path"] = resolve_record_path(last, directory)
     return last
 
 
@@ -156,16 +185,25 @@ class SnapshotRing:
         return path
 
     def register(self, path, iteration: int) -> None:
-        """Record an externally written snapshot and prune the ring."""
+        """Record an externally written snapshot and prune the ring.
+
+        The ledger stores the path relative to the ring directory when
+        possible, so experiment dirs stay relocatable."""
+        path = Path(path)
+        try:
+            stored = str(path.resolve().relative_to(
+                self.directory.resolve()))
+        except ValueError:
+            stored = str(path)
         self.records.append({
             "time": time.time(),
-            "path": str(path),
+            "path": stored,
             "iteration": iteration,
         })
         while len(self.records) > self.max_size:
             victim = self.records.pop(0)
             try:
-                os.unlink(victim["path"])
+                os.unlink(resolve_record_path(victim, self.directory))
             except FileNotFoundError:
                 pass
         self._write_records()
@@ -179,7 +217,12 @@ class SnapshotRing:
         os.replace(tmp, self.directory / "records.jsonl")
 
     def latest(self) -> Optional[dict]:
-        return self.records[-1] if self.records else None
+        """Newest record with its ``path`` resolved to a usable path."""
+        if not self.records:
+            return None
+        rec = dict(self.records[-1])
+        rec["path"] = resolve_record_path(rec, self.directory)
+        return rec
 
 
 def load_variables(path):

@@ -122,6 +122,14 @@ class Trainer:
                 entry.extension.initialize(self)
 
         extensions = self._sorted_extensions()
+        # prime interval triggers to the (possibly resumed) state so the
+        # first in-loop check fires on progress made THIS run — neither
+        # swallowing an epoch completed by the first iteration nor
+        # re-firing for the epoch a resumed snapshot already handled
+        for entry in extensions:
+            prime = getattr(entry.trigger, "prime", None)
+            if prime is not None:
+                prime(self)
         update = self.updater.update
 
         max_iteration = getattr(self.stop_trigger, "limit", None) \

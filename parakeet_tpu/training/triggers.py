@@ -24,11 +24,19 @@ class IntervalTrigger:
         self.unit = unit
         self.last_index = None
 
+    def prime(self, trainer) -> None:
+        """Sync to the trainer's current (possibly resumed) state so the
+        next __call__ fires only on progress made after this point; the
+        Trainer primes all interval triggers before its loop."""
+        state = trainer.updater.state
+        self.last_index = (state.iteration if self.unit == "iteration"
+                           else state.epoch)
+
     def __call__(self, trainer) -> bool:
         state = trainer.updater.state
         index = state.iteration if self.unit == "iteration" else state.epoch
         if self.last_index is None:
-            self.last_index = index
+            self.last_index = 0
         fired = index != self.last_index and index % self.period == 0
         self.last_index = index
         return fired

@@ -87,6 +87,7 @@ class StandardUpdater(UpdaterBase):
         super().__init__()
         self.step_fn = step_fn
         self.mesh = mesh
+        self.param_spec_rule = param_spec_rule
         if mesh is not None and param_spec_rule is not None:
             from ..parallel.mesh import shard_params_by_rule
             train_state = shard_params_by_rule(train_state, mesh,
@@ -104,13 +105,36 @@ class StandardUpdater(UpdaterBase):
         if self._iterator is None:
             self._set_epoch()
             self._iterator = iter(self.dataloader)
+            self._epoch_count = 0
         try:
-            return next(self._iterator)
+            batch = next(self._iterator)
         except StopIteration:
+            # fallback for dataloaders without a known length
             self.state.epoch += 1
             self._set_epoch()
             self._iterator = iter(self.dataloader)
-            return next(self._iterator)
+            self._epoch_count = 0
+            batch = next(self._iterator)
+        self._epoch_count += 1
+        # Epoch completion is detected AT the last batch (chainer
+        # is_new_epoch semantics, like the reference's iterators), not
+        # when the next epoch's first batch is fetched: an N-epoch run
+        # does exactly N * len(dataloader) updates, and an
+        # epoch-triggered Snapshot captures the state exactly at the
+        # epoch boundary — resume then continues with the next epoch's
+        # data, no batch replayed (exact resume-at-N+1).
+        n = self._epoch_len()
+        if n is not None and self._epoch_count >= n:
+            self.state.epoch += 1
+            self._iterator = None
+            self._epoch_count = 0
+        return batch
+
+    def _epoch_len(self) -> Optional[int]:
+        try:
+            return len(self.dataloader)
+        except TypeError:
+            return None
 
     def _set_epoch(self) -> None:
         sampler = getattr(self.dataloader, "batch_sampler", None)
@@ -138,12 +162,31 @@ class StandardUpdater(UpdaterBase):
         return super().state_dict()
 
     def save(self, path) -> None:
-        save_pytree(path, jax.device_get(self.train_state),
-                    metadata=self.state_dict())
+        # flatten_tree gathers sharded leaves to full global host arrays,
+        # so the snapshot is topology-free (resumable under any mesh).
+        save_pytree(path, self.train_state, metadata=self.state_dict())
 
     def load(self, path) -> None:
+        """Load a snapshot and re-place it for THIS updater's topology.
+
+        Snapshots hold full (gathered) arrays regardless of the mesh
+        they were written under; placement is decided here — by the
+        param_spec_rule for TP/PP, replicated for DP, default device
+        otherwise.  This is what makes cross-topology resume work
+        (save under --tp 2, resume under --dp 8 or vice versa); the
+        reference's resume semantics (snapshot.py:36-111, exact
+        resume-at-N+1) are unchanged.
+        """
         tree, meta = load_pytree(path, template=self.train_state)
-        self.train_state = jax.device_put(tree)
+        if self.mesh is not None and self.param_spec_rule is not None:
+            from ..parallel.mesh import shard_params_by_rule
+            self.train_state = shard_params_by_rule(
+                tree, self.mesh, self.param_spec_rule)
+        elif self.mesh is not None:
+            from ..parallel.mesh import replicate
+            self.train_state = replicate(tree, self.mesh)
+        else:
+            self.train_state = jax.device_put(tree)
         self.set_state_dict(meta)
 
 

@@ -238,3 +238,73 @@ def test_pp_checkpoint_converter_roundtrip(tmp_path):
     for k in o:
         np.testing.assert_array_equal(o[k], b[k])
     convert(tmp_path / "std.npz", tmp_path / "pp2.npz", "--to-stacked")
+
+
+def test_cross_topology_snapshot_resume(prepared, dp_losses):
+    """Snapshots are topology-free (round-4 verdict item 3): train one
+    epoch under ``--dp 2 --tp 2`` (TP-sharded TrainState), then resume
+    that snapshot under ``--dp 8`` AND under ``--dp 2 --tp 2``, both
+    through the real CLI auto-resume path.  The resumed epoch-2 losses
+    must match the straight ``--dp 8`` run's epoch-2 losses (exact
+    resume-at-N+1 semantics, reference snapshot.py:36-111)."""
+    import shutil
+
+    root = prepared["root"]
+
+    def common(exp):
+        return ["--config", prepared["config"],
+                "--train-metadata",
+                prepared["norm_train"] / "metadata.jsonl",
+                "--dev-metadata", prepared["norm_dev"] / "metadata.jsonl",
+                "--output-dir", exp,
+                "--phones-dict", prepared["dump"] / "phone_id_map.txt",
+                "--device", "cpu"]
+
+    exp = root / "exp_xtopo"
+    _run(RECIPES / "fastspeech2" / "train.py", *common(exp),
+         "--dp", "2", "--tp", "2", "--opts", "max_epoch", "1")
+    snaps = sorted((exp / "checkpoints").glob("*.npz"))
+    assert snaps, "epoch-1 TP run wrote no snapshot"
+
+    # the snapshot must hold FULL arrays, not one shard: compare every
+    # leaf's stored shape against the pure-DP run's snapshot (whose
+    # storage is trivially unsharded ground truth).
+    from parakeet_tpu.parallel import fs2_tp_spec
+    from parakeet_tpu.training.checkpoint import load_pytree
+    flat, meta = load_pytree(snaps[-1])
+    dp_snap = sorted((root / "exp_dp8" / "checkpoints").glob("*.npz"))[-1]
+    dp_flat, _ = load_pytree(dp_snap)
+    assert set(flat) == set(dp_flat)
+    for k in flat:
+        assert flat[k].shape == dp_flat[k].shape, k
+    sharded_keys = [
+        k for k in flat
+        if k.startswith("params") and any(
+            ax is not None
+            for ax in fs2_tp_spec(k.replace("::", "/"), None))]
+    assert sharded_keys, "fixture has no TP-sharded params?"
+    # epoch-1 iteration count, from the snapshot's own metadata
+    n1 = int(meta["iteration"])
+    assert 0 < n1 < len(dp_losses)
+
+    # clone the experiment so both resumes start from the same ring
+    exp_tp = root / "exp_xtopo_tp"
+    shutil.copytree(exp, exp_tp)
+
+    def resume(exp_dir, *flags):
+        before = (exp_dir / "worker_0.log").read_text()
+        _run(RECIPES / "fastspeech2" / "train.py", *common(exp_dir),
+             *flags)  # max_epoch 2 from the config -> runs epoch 2 only
+        text = (exp_dir / "worker_0.log").read_text()
+        assert text.startswith(before)
+        new = text[len(before):]
+        return np.asarray([float(m) for m in re.findall(
+            r"train/loss: ([0-9.]+)", new)])
+
+    resumed_dp = resume(exp, "--dp", "8")
+    assert len(resumed_dp) == len(dp_losses) - n1
+    np.testing.assert_allclose(resumed_dp, dp_losses[n1:], rtol=2e-4)
+
+    resumed_tp = resume(exp_tp, "--dp", "2", "--tp", "2")
+    assert len(resumed_tp) == len(dp_losses) - n1
+    np.testing.assert_allclose(resumed_tp, dp_losses[n1:], rtol=2e-4)
