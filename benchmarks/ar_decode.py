@@ -42,10 +42,17 @@ def bench_tacotron2(steps, iters, dtype):
                           method=Tacotron2.infer)
         return out["mel_outputs_postnet"], out["lengths"]
 
-    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    from parakeet_tpu.utils.flops import ar_decode_step_flops, mfu_stats
     # AOT-compile once; reuse the executable (avoids a second compile)
     infer = infer.lower(v, text, tl).compile()
-    flops = compiled_flops(infer)
+    # analytic per-step count (XLA's model counts the scan body once,
+    # utils/flops.py caveat); the LSA context term is 4*T_enc*d_att-ish
+    # and negligible next to the 1024-wide LSTMs
+    pp = v["params"]
+    step_flops = ar_decode_step_flops(
+        {k: pp[k] for k in ("cell", "prenet") if k in pp},
+        attn_context_flops=4.0 * text.shape[1] * 128)
+    flops = step_flops * steps
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
     t = text
@@ -86,10 +93,18 @@ def bench_transformer_tts(steps, iters, dtype, reduction_factor=1):
                           method=TransformerTTS.inference)
         return out["mel"], out["lengths"]
 
-    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    from parakeet_tpu.utils.flops import ar_decode_step_flops, mfu_stats
     # AOT-compile once; reuse the executable (avoids a second compile)
     infer = infer.lower(v, text, tl).compile()
-    flops = compiled_flops(infer)
+    # analytic per-step count (utils/flops.py caveat): decode-loop
+    # modules' params + the attention context terms over the KV cache
+    # (t_max) and encoder memory (t_enc) per layer
+    p = v["params"]
+    step_tree = {k: p[k] for k in
+                 ("decoder", "decoder_prenet", "decoder_prenet_proj",
+                  "feat_out", "prob_out") if k in p}
+    attn = model.dlayers * 4.0 * model.adim * (steps + text.shape[1])
+    flops = ar_decode_step_flops(step_tree, attn) * steps
     mel, lengths = infer(v, text, tl)
     assert bool(np.isfinite(np.asarray(mel)).all())
     t = text

@@ -50,10 +50,18 @@ def main():
         return wav, jax.random.fold_in(key, jnp.int32(wav[0, 0] == 0))
 
     key = jax.random.PRNGKey(1)
-    from parakeet_tpu.utils.flops import compiled_flops, mfu_stats
+    from parakeet_tpu.utils.flops import (mfu_stats,
+                                          waveflow_sampler_flops)
     # AOT-compile once; reuse the executable (avoids a second compile)
     infer = infer.lower(params, mel, key).compile()
-    flops = compiled_flops(infer)
+    # analytic count: XLA's cost model counts the row-scan body once
+    # instead of 15 x 8 times (utils/flops.py caveat; the old number
+    # under-reported MFU 15x)
+    flops = waveflow_sampler_flops(
+        args.frames * hop, n_flows=model.n_flows,
+        n_layers=model.n_layers, n_group=model.n_group,
+        channels=model.channels, mel_bands=model.n_mels,
+        kernel_size=model.kernel_size)
     wav, key = infer(params, mel, key)
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 
@@ -70,11 +78,14 @@ def main():
     elapsed = (time.perf_counter() - tic) / args.iters
     audio_seconds = wav.shape[-1] / fs
     rtf = elapsed / audio_seconds
+    # MFU denominator: bf16 peak even for --dtype float32 — JAX
+    # default-precision fp32 matmuls run single-pass bf16 multiplies on
+    # the MXU, so the half-peak fp32 convention over-reports (>100%)
     print(json.dumps({"metric": "waveflow_synthesis_rtf",
                       "value": round(rtf, 6), "unit": "rtf",
                       "dtype": args.dtype,
                       "vs_baseline": round(0.025 / rtf, 3),
-                      **mfu_stats(flops, elapsed, args.dtype)}))
+                      **mfu_stats(flops, elapsed, "bfloat16")}))
 
 
 if __name__ == "__main__":

@@ -231,3 +231,60 @@ def test_tacotron2_bf16_decode():
         method=Tacotron2.infer))(v, text, tl)
     mel = np.asarray(out["mel_outputs_postnet"], np.float32)
     assert np.isfinite(mel).all()
+
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_transformer_tts_cached_decode_matches_prefix_recompute(r):
+    """The scan decode (fixed KV caches, fused QKV step, hoisted PE
+    rows and cross-K/V) must equal the definitionally-correct AR loop
+    that re-runs the decoder on the full generated prefix each step
+    with no caches — at reduction_factor 1 AND 2 (the reference thins
+    frames at transformer_tts.py:462-510).  Prenet dropout is disabled
+    so both paths are deterministic."""
+    from parakeet_tpu.ops.masking import future_mask
+
+    odim, steps, b = 8, 5, 2
+    model = TransformerTTS(
+        idim=11, odim=odim, adim=16, aheads=2, elayers=2, dlayers=2,
+        eunits=32, dunits=32, postnet_layers=2, postnet_chans=8,
+        postnet_filts=3, eprenet_conv_layers=0, dprenet_layers=2,
+        dprenet_units=8, reduction_factor=r, dprenet_dropout_rate=0.0)
+    rng = np.random.default_rng(3)
+    text = jnp.asarray(rng.integers(1, 10, (b, 6)))
+    tl = jnp.asarray([6, 4])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tl, max_decoder_steps=2, method=TransformerTTS.inference)
+
+    out = model.apply(variables, text, tl, max_decoder_steps=steps,
+                      threshold=2.0,  # sigmoid < 1: never stops early
+                      deterministic=True, method=TransformerTTS.inference,
+                      rngs={"dropout": jax.random.PRNGKey(7)})
+    assert out["mel"].shape == (b, steps * r, odim)
+
+    def prefix_step(mdl, text, tl, prev):
+        """One AR step, no caches: full prefix through the decoder."""
+        hs, enc_mask, _ = mdl.encode(text, tl, None, None,
+                                     deterministic=True)
+        d_in = mdl._decoder_input(prev, deterministic=True)
+        t = prev.shape[1]
+        self_mask = future_mask(t)[None, None]
+        zs, _, _ = mdl.decoder(d_in, hs, self_mask,
+                               enc_mask[:, None, None, :],
+                               deterministic=True)
+        return mdl.feat_out(zs[:, -1]).reshape(b, r, odim)
+
+    prev = jnp.zeros((b, 1, odim))
+    frames = []
+    for _ in range(steps):
+        f = model.apply(variables, text, tl, prev, method=prefix_step,
+                        rngs={"dropout": jax.random.PRNGKey(7)})
+        frames.append(f)
+        prev = jnp.concatenate([prev, f[:, -1:, :]], axis=1)
+    mel_before = jnp.concatenate(frames, axis=1)       # (b, steps*r, odim)
+    mel_ref = model.apply(
+        variables, mel_before, deterministic=True,
+        method=lambda mdl, x, deterministic: x + mdl.postnet(
+            x, deterministic=deterministic))
+    np.testing.assert_allclose(np.asarray(out["mel"]),
+                               np.asarray(mel_ref), atol=2e-4, rtol=2e-4)
