@@ -172,6 +172,13 @@ class BuiltinLexiconG2P(G2PBackend):
         phones = self.table.get(w)
         return list(phones) if phones is not None else None
 
+    def _base(self, w: str) -> Optional[List[str]]:
+        """Lookup restricted to plausible derivation bases: 1-2 letter
+        entries are function words/abbreviations ("dr" -> doctor) whose
+        derived spellings are almost never real inflections (measured:
+        "dring" read as doctor+ing, cmudict eval round 4)."""
+        return self._lookup(w) if len(w) >= 3 else None
+
     def _suffix_s(self, base: List[str]) -> List[str]:
         last = re.sub(r"\d", "", base[-1])
         if last in self._SIBILANT:
@@ -189,7 +196,7 @@ class BuiltinLexiconG2P(G2PBackend):
                              ("es", lambda v: v[:-2]),
                              ("s", lambda v: v[:-1])):
             if w.endswith(suf) and len(w) > len(suf) + 1:
-                base = self._lookup(base_of(w))
+                base = self._base(base_of(w))
                 if base:
                     return self._suffix_s(base)
         # past tense: -ed (walk/walked, bake/baked, stop/stopped)
@@ -198,7 +205,7 @@ class BuiltinLexiconG2P(G2PBackend):
             if len(w) > 4 and w[-3] == w[-4]:
                 candidates.append(w[:-3])          # doubled consonant
             for cand in candidates:
-                base = self._lookup(cand)
+                base = self._base(cand)
                 if base:
                     last = re.sub(r"\d", "", base[-1])
                     if last in {"T", "D"}:
@@ -212,14 +219,16 @@ class BuiltinLexiconG2P(G2PBackend):
             if len(w) > 5 and w[-4] == w[-5]:
                 candidates.append(w[:-4])          # doubled consonant
             for cand in candidates:
-                base = self._lookup(cand)
+                base = self._base(cand)
                 if base:
                     return base + ["IH0", "NG"]
-        # adverbial: -ly
+        # adverbial: -ly (degeminate after a base-final L: full/fully)
         if w.endswith("ly") and len(w) > 3:
-            base = self._lookup(w[:-2])
+            base = self._base(w[:-2])
             if base:
-                return base + ["L", "IY0"]
+                tail = ["IY0"] if re.sub(r"\d", "", base[-1]) == "L" \
+                    else ["L", "IY0"]
+                return base + tail
         # concatenative suffixes (no stem phonology change)
         for suf, tail in (("ness", ["N", "AH0", "S"]),
                           ("ment", ["M", "AH0", "N", "T"]),
@@ -243,8 +252,12 @@ class BuiltinLexiconG2P(G2PBackend):
                 if suf in ("er", "est", "y"):
                     candidates.append(stem + "e")        # bake/baker
                 for cand in candidates:
-                    base = self._lookup(cand)
+                    base = self._base(cand)
                     if base:
+                        # degeminate base-final N + -ness (givenness)
+                        if (tail[0] == re.sub(r"\d", "", base[-1])
+                                and tail[0] == "N"):
+                            return base + tail[1:]
                         return base + tail
         return None
 
