@@ -31,7 +31,7 @@ _MODAL_PARTICLES = set("å§å‘¢å“ˆå•Šå‘å™»å˜›å–å—¨å‘å“¦å“’é¢æ»´å“©å“Ÿå–½å•°è€
 # structural particles, always neutral (reference tone_sandhi.py:89)
 _DE_PARTICLES = set("çš„åœ°å¾—")
 # characters that can take ä¸ª as a classifier prefix (reference :104-106)
-_GE_PREFIXES = set("å‡ æœ‰ä¸¤åŠå¤šå„æ•´æ¯åšæ˜¯")
+_GE_PREFIXES = set("å‡ æœ‰ä¸¤åŠå¤šå„æ•´æ¯åšæ˜¯ä¸Šä¸‹è¿™é‚£å“ª")
 
 
 def _set_tone(final: str, tone: str) -> str:
@@ -52,6 +52,20 @@ class ToneSandhi:
     backend is live).
     """
 
+    # å¾—-final words where å¾— is the lexical verb de2 ("obtain"), not
+    # the structural particle (èµ¢å¾—å† å†› = ying2 de2, not de5)
+    _DE_COMPOUNDS = frozenset({
+        "èµ¢å¾—", "è·å¾—", "å–å¾—", "å¿ƒå¾—", "æ‰€å¾—", "ä¸å¾—", "éå¾—", "åšå¾—",
+        "å¤ºå¾—", "éš¾å¾—", "ä½¿å¾—", "å€¼å¾—", "å¾—äº†",
+    })
+
+    # verb compounds whose è¿‡ is lexical guo4, not the aspect particle
+    _GUO_COMPOUNDS = frozenset({
+        "ç»è¿‡", "é€šè¿‡", "éš¾è¿‡", "ä¸è¿‡", "è¶…è¿‡", "åº¦è¿‡", "æ¸¡è¿‡", "é”™è¿‡",
+        "è·¯è¿‡", "è¶Šè¿‡", "ç©¿è¿‡", "é€è¿‡", "ç»•è¿‡", "è·¨è¿‡", "èƒœè¿‡", "èµ›è¿‡",
+        "æ”¾è¿‡", "é—ªè¿‡", "æ è¿‡", "é£˜è¿‡", "å¥½è¿‡", "æ”¹è¿‡", "æ‚”è¿‡", "èµ°è¿‡",
+    })
+
     def __init__(self, finals_fn: Optional[Callable[[str], List[str]]] = None):
         self.must_neural_tone_words = set(MUST_NEURAL_TONE_WORDS)
         self.must_not_neural_tone_words = set(MUST_NOT_NEURAL_TONE_WORDS)
@@ -68,12 +82,23 @@ class ToneSandhi:
         ge_idx = word.find("ä¸ª")
         if n >= 1 and word[-1] in _MODAL_PARTICLES:
             finals[-1] = _set_tone(finals[-1], "5")
-        elif n >= 1 and word[-1] in _DE_PARTICLES:
+        # structural çš„/åœ°/å¾—: particle segments (u*) and adverbials
+        # (è½»è½»åœ° 'z'/'d', çœŸçš„ 'd') â€” NOT content nouns (å¢“åœ°, ç›®çš„)
+        elif (n >= 1 and word[-1] in _DE_PARTICLES
+                and (pos[:1] == "u" or pos in ("d", "z", "ad"))
+                and word not in self._DE_COMPOUNDS):
             finals[-1] = _set_tone(finals[-1], "5")
         # aspect particles standing alone: èµ°äº†, çœ‹ç€, å»è¿‡
         elif n == 1 and word in "äº†ç€è¿‡" and pos in ("ul", "uz", "ug"):
             finals[-1] = _set_tone(finals[-1], "5")
-        elif (n > 1 and word[-1] in "ä»¬å­" and pos in ("r", "n")
+        # aspect è¿‡ folded into a verb segment (å»è¿‡, çœ‹è¿‡): neutral â€”
+        # unless è¿‡ is part of the compound itself (ç»è¿‡, éš¾è¿‡, ...).
+        # The reference only handles è¿‡ as its own segment (residual
+        # class 3 in docs/frontend_accuracy.md, closed round 4).
+        elif (n == 2 and word[-1] == "è¿‡" and pos[:1] == "v"
+                and word not in self._GUO_COMPOUNDS):
+            finals[-1] = _set_tone(finals[-1], "5")
+        elif (n > 1 and word[-1] in "ä»¬å­" and pos[:1] in ("r", "n")
                 and word not in self.must_not_neural_tone_words):
             finals[-1] = _set_tone(finals[-1], "5")
         # ä¸Š/ä¸‹/é‡Œ as locative suffix: æ¡Œä¸Š, åœ°ä¸‹, å®¶é‡Œ
@@ -246,7 +271,18 @@ class ToneSandhi:
             finals = self._finals_fn(word)
         except Exception:
             return None
-        return finals if finals else None
+        if not finals:
+            return None
+        # neutral-tone preview: the reference's pypinyin already returns
+        # zi5 for å­©å­ here, so its merge passes never see the citation
+        # zi3 and won't glue å­©å­+æŠŠ; our raw G2P is citation-toned, so
+        # apply the must-neutral table before the tone-3 checks
+        if (word in self.must_neural_tone_words
+                or word[-2:] in self.must_neural_tone_words
+                or (len(word) > 1 and word[-1] in "ä»¬å­"
+                    and word not in self.must_not_neural_tone_words)):
+            finals[-1] = _set_tone(finals[-1], "5")
+        return finals
 
     def _merge_three_tones(self, seg: List[Tuple[str, str]],
                            whole_word: bool) -> List[Tuple[str, str]]:

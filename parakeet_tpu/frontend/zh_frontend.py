@@ -34,6 +34,44 @@ __all__ = ["Frontend"]
 
 _CHINESE = re.compile(r"[一-鿿]")
 
+
+# verb+complement units jieba tends to split whose first char is a
+# polyphone only resolvable in this context (WORD_PINYIN carries the
+# readings); joined back before G2P in _g2p_sentence
+_SPLIT_POLYPHONE_WORDS = frozenset({"长得", "长大", "觉得", "数不清"})
+
+# single-char polyphones whose reading follows the jieba POS: the
+# structural particles 地/得 (u*) read de5 (their char-table defaults
+# are the content readings di4/de2), verbs 种/数 (v*) read zhong4/shu3
+_POS_CHAR_PINYIN = {
+    ("地", "u"): "de5", ("得", "u"): "de5",
+    ("种", "v"): "zhong4", ("数", "v"): "shu3",
+    ("教", "v"): "jiao1", ("量", "v"): "liang2",
+}
+
+
+def _cross_word_three_sandhi(word_sylls: List[Optional[List[str]]]) -> None:
+    """Cross-word 3-3 sandhi the ≤3-char merge window misses, in place.
+
+    Per-word ``_three_sandhi`` resolves in-word pairs and the merge
+    passes (reference tone_sandhi.py:254-307) the short all-tone-3
+    cross-word ones; what remains is pairs like 很|有意思 where the
+    combined word exceeds the window.  Sandhi there is obligatory only
+    when the left word cliticizes to the right — a monosyllabic
+    modifier/pronoun (很, 我, 好...) — while across larger left words a
+    prosodic boundary usually blocks it (七点|起床 keeps dian3); the
+    rule fires only in the monosyllable case, and ``None`` entries
+    (punctuation pauses) block it entirely.  The left word must also be
+    a content-class monosyllable (pronoun/adverb/verb/adjective) — a
+    locative/particle (动物园|里|有) hosts a prosodic break instead.
+    """
+    for i, (py, pos) in enumerate(word_sylls[:-1]):
+        nxt = word_sylls[i + 1][0]
+        if (py is not None and nxt is not None and len(py) == 1
+                and pos[:1] in ("r", "d", "v", "a", "z")
+                and py[0].endswith("3") and nxt[0].endswith("3")):
+            py[0] = py[0][:-1] + "2"
+
 # high-frequency character -> toned pinyin (demo-scale built-in table)
 _BUILTIN_PINYIN: Dict[str, str] = {
     "的": "de5", "一": "yi1", "是": "shi4", "了": "le5", "我": "wo3",
@@ -270,19 +308,43 @@ class Frontend:
             seg = [(sentence, "n")]
         if with_sandhi:
             seg = self.tone_sandhi.pre_merge_for_modify(seg)
-        sylls: List[str] = []
+        # re-join polyphone contexts jieba splits apart (长|得很高: the
+        # bare 长 would fall to the char table as chang2 — residual
+        # class 2 in docs/frontend_accuracy.md, closed round 4)
+        merged: List[tuple] = []
+        for word, pos in seg:
+            if merged and (merged[-1][0] + word) in _SPLIT_POLYPHONE_WORDS:
+                merged[-1] = (merged[-1][0] + word, merged[-1][1])
+            else:
+                merged.append((word, pos))
+        seg = merged
+        word_sylls: List[tuple] = []
         for word, pos in seg:
             if not _CHINESE.search(word):
-                continue                        # drop punctuation/latin
-            py = self.g2p(word)
+                # punctuation/latin: emits nothing but marks a pause
+                # boundary that blocks cross-word sandhi
+                word_sylls.append((None, pos))
+                continue
+            if len(word) == 1 and (word, pos[:1]) in _POS_CHAR_PINYIN:
+                py = [_POS_CHAR_PINYIN[(word, pos[:1])]]
+            else:
+                py = self.g2p(word)
+                # adverbial -地 (轻轻地, pos d/z) reads the particle de5,
+                # not the char-table di4 — same readjustment pypinyin
+                # does through its word dict
+                if (len(word) > 1 and word[-1] == "地"
+                        and pos in ("d", "z", "ad") and len(py) == len(word)):
+                    py[-1] = "de5"
             if with_sandhi and len(py) == len(word):
                 finals = [s for s in py]
                 finals = self.tone_sandhi.modified_tone(word, pos, finals)
                 py = finals
             if with_erhua and len(py) == len(word):
                 py = self._merge_erhua(py, word, pos)
-            sylls.extend(py)
-        return sylls
+            word_sylls.append((py, pos))
+        if with_sandhi:
+            _cross_word_three_sandhi(word_sylls)
+        return [s for py, _ in word_sylls if py for s in py]
 
     def get_syllables(self, sentence: str,
                       with_erhua: bool = True) -> List[str]:

@@ -23,10 +23,12 @@ def test_textnorm_corpus_cer():
 
 
 def test_g2p_corpus_wer():
+    """208 labeled sentences, measured r4 WER 0.0005 (the one residual
+    is the jieba 'm'-tagged verb 种 — docs/frontend_accuracy.md)."""
     from test_g2p import DEFAULT_DATA, corpus_wer
     wer_val, n = corpus_wer(DEFAULT_DATA)
-    assert n >= 60, f"labeled g2p set shrank: {n}"
-    assert wer_val < 0.04, f"g2p corpus syllable WER regressed: {wer_val:.4f}"
+    assert n >= 200, f"labeled g2p set shrank: {n}"
+    assert wer_val < 0.005, f"g2p corpus syllable WER regressed: {wer_val:.4f}"
 
 
 def test_en_g2p_corpus_wer():
