@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from parakeet_tpu.models.speedyspeech import SpeedySpeech, speedyspeech_loss
 from parakeet_tpu.models.tacotron2 import Tacotron2, tacotron2_loss
 from parakeet_tpu.models.transformer_tts import (

@@ -3,6 +3,10 @@
 TPU analog of the reference deploy chain (reference:
 examples/speedyspeech/baker/synthesize_e2e.py:84-101 export via
 paddle.jit.save, then inference.py through paddle.inference): synthesize
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from text with randomly initialized weights, export jax.export
 artifacts, and re-run synthesis through the deserialized graphs with no
 model code.

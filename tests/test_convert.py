@@ -2,6 +2,10 @@
 dict with the reference's key names and tensor layouts
 (parallel_wavegan.py:401-496), convert, and check it is a drop-in for
 ``PWGGenerator.init`` params (identical tree + shapes, generator runs)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 import jax
 import jax.numpy as jnp
 import numpy as np

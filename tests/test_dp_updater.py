@@ -1,6 +1,10 @@
 """StandardUpdater data-parallel path: mesh replication + batch sharding
 (the --dp recipe flag; replaces the reference's paddle.DataParallel wrap,
 SURVEY §2.9)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 import jax
 import numpy as np
 

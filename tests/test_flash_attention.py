@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from parakeet_tpu.nn.flash import make_flash_attn_core
 
 

@@ -17,6 +17,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 torch = pytest.importorskip("torch")

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from parakeet_tpu import training as T
 from parakeet_tpu.models import (FastSpeech2, PWGDiscriminator, PWGGenerator,
                                  init_fs2_train_state, init_pwg_train_state,

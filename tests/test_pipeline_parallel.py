@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
 from jax.sharding import Mesh, PartitionSpec as P
 
 from parakeet_tpu.parallel import pipeline_layers, pipelined_layers

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from parakeet_tpu.models.parallel_wavegan import (UpsampleNet, WNConv1d,
                                                   conv1d_taps)
 

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from parakeet_tpu.ops.pallas import pwg_stack, pwg_stack_train
 from parakeet_tpu.ops.pallas.pwg_stack import fused_residual_stack
 from parakeet_tpu.ops.pallas.pwg_stack_train import (

@@ -11,8 +11,8 @@ from parakeet_tpu.parallel import (make_mesh, make_ring_attn_core,
                                    replicate, shard_params_by_rule,
                                    transformer_tp_spec)
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")]
 
 
 def _fs2(decoder_attn_core=None):

@@ -20,6 +20,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 REPO = Path(__file__).resolve().parent.parent
 RECIPES = REPO / "recipes"
 

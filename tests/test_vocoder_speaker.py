@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 from parakeet_tpu.models.lstm_speaker_encoder import (
     LSTMSpeakerEncoder, compute_eer, ge2e_loss, scale_wb_gradients,
     similarity_matrix)
