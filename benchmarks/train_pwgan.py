@@ -34,7 +34,13 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32',
                        gate_channels=128, skip_channels=64,
                        upsample_scales=(4, 5, 3, 5), aux_context_window=2,
                        dtype=dt, stack_impl=stack_impl)
-    disc = PWGDiscriminator(layers=10, conv_channels=64, dtype=dt)
+    # fused disc on the fp32 pallas path only (measured r4: fp32
+    # 67.2 -> 80.5 seq/s bs6 / 62.7 -> 86.6 bs26, but bf16 94.2 -> 82.0
+    # -- the bf16 XLA disc is already MXU-rate and the fused kernel's
+    # half-width K=64 dots plus save streams cost more than they save)
+    disc = PWGDiscriminator(layers=10, conv_channels=64, dtype=dt,
+                            impl=("pallas" if stack_impl == "pallas"
+                                  and dtype == "float32" else "xla"))
     hop = gen.upsample_factor                      # 300
     batch_max_steps = 25500                        # reference config
     frames = batch_max_steps // hop
@@ -68,7 +74,8 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32',
         # model); take the denominator from the algorithmically
         # identical pure-XLA lowering, as bench.py does
         step_xla = make_pwg_train_step(
-            gen.clone(stack_impl="xla"), disc, gen_tx, disc_tx,
+            gen.clone(stack_impl="xla"), disc.clone(impl="xla"),
+            gen_tx, disc_tx,
             lambda_adv=4.0, discriminator_train_start_steps=0)
         flops = compiled_flops(step_xla.lower(state, batch).compile())
     state, metrics = step(state, batch)            # first real execution

@@ -109,13 +109,24 @@ class WNConv1d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
+        """``return_weights=True`` creates the (identical) params and
+        returns the effective (weight-norm-folded) kernel and bias
+        instead of convolving — fused kernels (ops/pallas/pwg_disc.py)
+        consume the materialized weights directly; ``x`` then only
+        supplies the input channel count."""
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(
             in_axis=-2, out_axis=-1), (self.kernel_size, cin, self.features))
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,)) if self.use_weight_norm else None
-        y = conv1d_taps(x, _wn(kernel, scale), self.dilation, self.padding,
+        eff = _wn(kernel, scale)
+        if return_weights:
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias
+                    else jnp.zeros((self.features,), jnp.float32))
+            return eff, bias
+        y = conv1d_taps(x, eff, self.dilation, self.padding,
                         self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
@@ -637,7 +648,14 @@ def pwg_streaming_inference(generator: PWGGenerator, variables, mel,
 
 
 class PWGDiscriminator(nn.Module):
-    """Stack of dilated convs + leaky relu; (B, T, 1) -> (B, T, 1) logits."""
+    """Stack of dilated convs + leaky relu; (B, T, 1) -> (B, T, 1) logits.
+
+    ``impl='pallas'`` fuses layers 1..9 into one Pallas TPU kernel with
+    a custom VJP (ops/pallas/pwg_disc.py: bf16 matmuls, fp32
+    accumulation) — the discriminator-side counterpart of the
+    generator's ``stack_impl='pallas'`` and part of the same blessed
+    training path; 'xla' (default) keeps the per-layer shifted matmuls
+    in the model dtype.  Param trees are identical for both."""
     in_channels: int = 1
     out_channels: int = 1
     kernel_size: int = 3
@@ -650,6 +668,7 @@ class PWGDiscriminator(nn.Module):
     bias: bool = True
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -658,19 +677,47 @@ class PWGDiscriminator(nn.Module):
                 "only LeakyReLU is supported (the reference default)")
         slope = (self.nonlinear_activation_params or {}).get(
             "negative_slope", self.negative_slope)
+
+        def conv(i, features, dilation):
+            return WNConv1d(features, self.kernel_size, dilation=dilation,
+                            use_bias=self.bias,
+                            use_weight_norm=self.use_weight_norm,
+                            dtype=self.dtype,
+                            name=("conv_last" if i == self.layers - 1
+                                  else f"conv_{i}"))
+
+        if self.impl == "pallas":
+            from ..ops.pallas.pwg_disc import (fused_disc_supported,
+                                               fused_disc_tail)
+            if not fused_disc_supported(
+                    self.in_channels, self.out_channels, self.kernel_size,
+                    self.layers, self.conv_channels, self.dilation_factor):
+                raise ValueError("fused pallas discriminator unsupported "
+                                 "for this configuration")
+            # layer 0 (1 -> 64, K=1 outer products) stays in XLA; the
+            # kernel consumes the materialized weights of layers 1..9
+            h = nn.leaky_relu(conv(0, self.conv_channels, 1)(x), slope)
+            dummy = jnp.zeros((1, 1, self.conv_channels), x.dtype)
+            kernels, biases = [], []
+            for i in range(1, self.layers - 1):
+                k, b = conv(i, self.conv_channels, i)(
+                    dummy, return_weights=True)
+                kernels.append(k)
+                biases.append(b)
+            k, b = conv(self.layers - 1, self.out_channels, 1)(
+                dummy, return_weights=True)
+            kernels.append(k)
+            biases.append(b)
+            return fused_disc_tail(h.astype(jnp.float32), kernels, biases,
+                                   negative_slope=slope).astype(self.dtype)
+
         h = x
         for i in range(self.layers - 1):
             dilation = 1 if i == 0 else (
                 i if self.dilation_factor == 1 else self.dilation_factor ** i)
-            h = WNConv1d(self.conv_channels, self.kernel_size,
-                         dilation=dilation, use_bias=self.bias,
-                         use_weight_norm=self.use_weight_norm,
-                         dtype=self.dtype, name=f"conv_{i}")(h)
+            h = conv(i, self.conv_channels, dilation)(h)
             h = nn.leaky_relu(h, slope)
-        return WNConv1d(self.out_channels, self.kernel_size,
-                        use_bias=self.bias,
-                        use_weight_norm=self.use_weight_norm,
-                        dtype=self.dtype, name="conv_last")(h)
+        return conv(self.layers - 1, self.out_channels, 1)(h)
 
 
 class ResidualPWGDiscriminator(nn.Module):
