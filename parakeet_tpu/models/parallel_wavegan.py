@@ -655,7 +655,9 @@ class PWGDiscriminator(nn.Module):
     accumulation) — the discriminator-side counterpart of the
     generator's ``stack_impl='pallas'`` and part of the same blessed
     training path; 'xla' (default) keeps the per-layer shifted matmuls
-    in the model dtype.  Param trees are identical for both."""
+    in the model dtype; 'auto' picks the fused kernel exactly where it
+    measured faster (TPU, fp32, supported config) and XLA otherwise.
+    Param trees are identical for all three."""
     in_channels: int = 1
     out_channels: int = 1
     kernel_size: int = 3
@@ -686,14 +688,28 @@ class PWGDiscriminator(nn.Module):
                             name=("conv_last" if i == self.layers - 1
                                   else f"conv_{i}"))
 
-        if self.impl == "pallas":
+        use_pallas = False
+        if self.impl in ("pallas", "auto"):
             from ..ops.pallas.pwg_disc import (fused_disc_supported,
                                                fused_disc_tail)
-            if not fused_disc_supported(
-                    self.in_channels, self.out_channels, self.kernel_size,
-                    self.layers, self.conv_channels, self.dilation_factor):
-                raise ValueError("fused pallas discriminator unsupported "
-                                 "for this configuration")
+            supported = fused_disc_supported(
+                self.in_channels, self.out_channels, self.kernel_size,
+                self.layers, self.conv_channels, self.dilation_factor)
+            if self.impl == "pallas":
+                if not supported:
+                    raise ValueError("fused pallas discriminator unsupported "
+                                     "for this configuration")
+                use_pallas = True
+            else:
+                # measured policy (docs/tpu_performance.md, round 4): the
+                # fused kernel wins the fp32 GAN step (+20-38% ips) but
+                # loses under dtype=bfloat16, where the XLA disc already
+                # runs at MXU rate and the kernel's half-width K=64 dots
+                # plus save streams cost more than they save.
+                use_pallas = (supported
+                              and self.dtype == jnp.float32
+                              and jax.default_backend() in ("tpu", "axon"))
+        if use_pallas:
             # layer 0 (1 -> 64, K=1 outer products) stays in XLA; the
             # kernel consumes the materialized weights of layers 1..9
             h = nn.leaky_relu(conv(0, self.conv_channels, 1)(x), slope)

@@ -150,3 +150,48 @@ def test_pwg_discriminator_impl_pallas_integration():
     # the relative number (~0.13 here).  Exact gradient semantics (vs
     # the bf16-emulated reference) are pinned at 3e-2 above.
     assert num / den < 0.25, f"adv input-grad rel-L2 {num / den}"
+
+
+def test_pwg_discriminator_impl_auto_policy(monkeypatch):
+    """impl='auto' must apply the measured round-4 policy: fused
+    kernel only on TPU + fp32 + supported config; XLA on bf16, on
+    non-TPU backends, and on unsupported shapes (docs/tpu_performance
+    .md PWGAN row)."""
+    import parakeet_tpu.ops.pallas.pwg_disc as pwg_disc
+    from parakeet_tpu.models import PWGDiscriminator
+
+    wav = jnp.zeros((1, 512, 1), jnp.float32)
+    params = PWGDiscriminator(layers=10, conv_channels=64,
+                              impl="xla").init(jax.random.PRNGKey(0), wav)
+
+    class _Routed(Exception):
+        pass
+
+    def _sentinel(*a, **k):
+        raise _Routed
+
+    monkeypatch.setattr(pwg_disc, "fused_disc_tail", _sentinel)
+
+    def run(impl, backend, dtype=jnp.float32):
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        d = PWGDiscriminator(layers=10, conv_channels=64, impl=impl,
+                             dtype=dtype)
+        return d.apply(params, wav.astype(dtype))
+
+    # fp32 on TPU -> fused kernel (sentinel fires)
+    with pytest.raises(_Routed):
+        run("auto", "tpu")
+    # bf16 on TPU -> XLA (measured slower fused; must NOT route)
+    out = run("auto", "tpu", jnp.bfloat16)
+    assert out.shape == (1, 512, 1)
+    # fp32 off-TPU -> XLA
+    out = run("auto", "cpu")
+    assert out.shape == (1, 512, 1)
+    # unsupported config (conv_channels != 64) -> XLA even on TPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    d_small = PWGDiscriminator(layers=10, conv_channels=32, impl="auto")
+    p_small = d_small.init(jax.random.PRNGKey(0), wav)
+    assert d_small.apply(p_small, wav).shape == (1, 512, 1)
+    # explicit impl='pallas' still routes unconditionally
+    with pytest.raises(_Routed):
+        run("pallas", "cpu")
