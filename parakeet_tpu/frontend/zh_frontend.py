@@ -67,7 +67,10 @@ def _cross_word_three_sandhi(word_sylls: List[Optional[List[str]]]) -> None:
     """
     for i, (py, pos) in enumerate(word_sylls[:-1]):
         nxt = word_sylls[i + 1][0]
-        if (py is not None and nxt is not None and len(py) == 1
+        # `py`/`nxt` can be [] under strict=False G2P (unknown chars
+        # yield no syllables) — an empty result blocks sandhi like a
+        # pause does.
+        if (py and nxt and len(py) == 1
                 and pos[:1] in ("r", "d", "v", "a", "z")
                 and py[0].endswith("3") and nxt[0].endswith("3")):
             py[0] = py[0][:-1] + "2"

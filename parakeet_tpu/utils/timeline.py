@@ -32,9 +32,23 @@ _MEMORY_STAT_RE = re.compile(
 
 
 def _stat_value(stat):
-    """Extract whichever value field an XStat carries."""
-    for field in ("int64_value", "uint64_value", "double_value"):
-        v = getattr(stat, field, 0)
+    """Extract whichever numeric value field an XStat carries.
+
+    XStat's value is a proto oneof, so presence — not truthiness — must
+    decide (a bytes_in_use sample of 0 is a real sample; dropping it
+    would leave the Chrome counter track stuck at the previous value).
+    """
+    numeric = ("int64_value", "uint64_value", "double_value")
+    which = getattr(stat, "WhichOneof", None)
+    if which is not None:
+        try:
+            field = which("value")
+        except ValueError:  # no oneof named "value" on this proto build
+            field = None
+        if field is not None:
+            return getattr(stat, field) if field in numeric else None
+    for field in numeric:  # duck-typed stats (tests use SimpleNamespace)
+        v = getattr(stat, field, None)
         if v:
             return v
     return None

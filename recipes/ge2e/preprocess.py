@@ -72,7 +72,8 @@ def energy_vad(wav, fs, window_ms=30, moving_average_width=8,
     per-window decision — moving-average smoothing, rounding, silence
     dilation, repeat-to-samples — is the reference pipeline ported
     verbatim (``vad_postprocess``); trim-boundary agreement against
-    that oracle is asserted in tests/test_vocoder_speaker.py."""
+    that oracle is asserted in tests/test_recipes_smoke.py::
+    test_ge2e_vad_matches_webrtcvad_oracle."""
     win = max(1, (window_ms * fs) // 1000)
     n = len(wav) // win
     if n == 0:

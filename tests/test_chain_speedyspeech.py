@@ -3,10 +3,6 @@
 TPU analog of the reference deploy chain (reference:
 examples/speedyspeech/baker/synthesize_e2e.py:84-101 export via
 paddle.jit.save, then inference.py through paddle.inference): synthesize
-import pytest
-
-pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
-
 from text with randomly initialized weights, export jax.export
 artifacts, and re-run synthesis through the deserialized graphs with no
 model code.
@@ -16,6 +12,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy lane: run via plain `pytest tests/`
+
 
 REPO = Path(__file__).resolve().parent.parent
 RECIPES = REPO / "recipes"
@@ -23,7 +23,12 @@ RECIPES = REPO / "recipes"
 
 def _run(script, *args):
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # Strip the axon sitecustomize so JAX_PLATFORMS=cpu actually takes
+    # effect (it overrides the env var; see CLAUDE.md) — these smoke
+    # subprocesses must never land on the real TPU.
+    inherited = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([str(REPO)] + inherited)
     env.setdefault("JAX_PLATFORMS", "cpu")
     cmd = [sys.executable, str(script)] + [str(a) for a in args]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900,

@@ -19,7 +19,13 @@ ALL_SCRIPTS = sorted(RECIPES.glob("*/*.py"))
 
 def _run(script, *args, timeout=600):
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # Keep the subprocess off the real TPU: the axon sitecustomize
+    # (on PYTHONPATH in TPU shells) overrides JAX_PLATFORMS=cpu, so it
+    # must be dropped from the inherited path — plain JAX then honors
+    # the env var and these smoke runs never contend with the chip.
+    inherited = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([str(REPO)] + inherited)
     env.setdefault("JAX_PLATFORMS", "cpu")
     cmd = [sys.executable, str(script)] + [str(a) for a in args]
     proc = subprocess.run(cmd, capture_output=True, text=True,

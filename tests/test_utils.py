@@ -125,6 +125,11 @@ def test_xplane_memory_counter_events(tmp_path):
     st.uint64_value = 123456
     st2 = ev.stats.add(metadata_id=2)
     st2.int64_value = 99
+    # a later sample where the allocator drains to zero: presence (the
+    # proto oneof), not truthiness, must decide — a 0 sample is real
+    ev0 = line.events.add(metadata_id=1, offset_ps=9000, duration_ps=500)
+    st0 = ev0.stats.add(metadata_id=1)
+    st0.uint64_value = 0
 
     dump = tmp_path / "synthetic.xplane.pb"
     dump.write_bytes(xs.SerializeToString())
@@ -132,10 +137,12 @@ def test_xplane_memory_counter_events(tmp_path):
     from parakeet_tpu.utils.timeline import xplane_to_chrome_trace
     events = xplane_to_chrome_trace(str(dump))
     counters = [e for e in events if e["ph"] == "C"]
-    assert counters == [{
+    assert [c["args"] for c in counters] == [
+        {"bytes_in_use": 123456}, {"bytes_in_use": 0}]
+    assert counters[0] == {
         "ph": "C", "pid": 0, "name": "bytes_in_use",
         "ts": counters[0]["ts"], "args": {"bytes_in_use": 123456},
-    }]
+    }
     assert counters[0]["ts"] == pytest.approx(1.002)  # us
     # the op event itself is still emitted
     assert any(e["ph"] == "X" and e["name"] == "fusion.1" for e in events)
