@@ -9,6 +9,7 @@ reference-default PWGGenerator (30 layers, x300 upsampling).  Baseline
 target is RTF 0.01 (BASELINE.json, v4-8); vs_baseline = 0.01 / measured
 (>1 means better than the target).
 """
+import argparse
 import json
 import time
 
@@ -16,21 +17,33 @@ import numpy as np
 
 
 def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=("float32", "bfloat16"),
+                        help="compute dtype (params/losses stay fp32). "
+                             "bfloat16 is the blessed TPU serving dtype "
+                             "(wav parity vs fp32 pinned by "
+                             "tests/test_e2e_bf16.py); measured RTF "
+                             "0.00172 vs 0.00191 fp32 (same session; "
+                             "fp32 run-to-run 0.00179-0.00191)")
+    cli = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import FastSpeech2, PWGGenerator
     from parakeet_tpu.models.fastspeech2 import FastSpeech2 as FS2
 
+    dt = jnp.bfloat16 if cli.dtype == "bfloat16" else jnp.float32
     sr, hop = 24000, 300
     max_frames = 896  # ~11.2 s of audio capacity
     text_len = 128
 
     fs2 = FastSpeech2(idim=80, odim=80, adim=384, aheads=4, elayers=4,
-                      eunits=1536, dlayers=4, dunits=1536)
+                      eunits=1536, dlayers=4, dunits=1536, dtype=dt)
     pwg = PWGGenerator(layers=30, stacks=3, residual_channels=64,
                        gate_channels=128, skip_channels=64,
                        upsample_scales=(5, 6, 10),  # 300x for hop 300
-                       aux_context_window=2)
+                       aux_context_window=2, dtype=dt)
 
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.integers(1, 80, (1, text_len)).astype(np.int64))
@@ -98,7 +111,8 @@ def main():
         "value": round(rtf, 6),
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / rtf, 3),
-        **mfu_stats(flops, elapsed, "float32"),
+        "dtype": cli.dtype,
+        **mfu_stats(flops, elapsed, cli.dtype),
     }))
 
 
