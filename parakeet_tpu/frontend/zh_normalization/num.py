@@ -12,10 +12,10 @@ import re
 __all__ = [
     "num2str", "verbalize_cardinal", "verbalize_digit",
     "RE_NUMBER", "RE_FRAC", "RE_PERCENTAGE", "RE_RANGE", "RE_INTEGER",
-    "RE_DEFAULT_NUM", "RE_POSITIVE_QUANTIFIERS", "RE_TWO",
+    "RE_DEFAULT_NUM", "RE_POSITIVE_QUANTIFIERS", "RE_TWO", "RE_SCORE",
     "replace_number", "replace_frac", "replace_percentage",
     "replace_range", "replace_negative_num", "replace_default_num",
-    "replace_positive_quantifier",
+    "replace_positive_quantifier", "replace_score_or_time",
 ]
 
 DIGITS = {str(i): c for i, c in enumerate("零一二三四五六七八九")}
@@ -142,9 +142,39 @@ def replace_number(match) -> str:
     return ("负" if sign else "") + num2str(number)
 
 
+_ARITH_CONTEXT = "加减乘除等于"
+
+
 def replace_default_num(match) -> str:
-    """Long digit strings read digit-by-digit."""
-    return verbalize_digit(match.group(0))
+    """Bare digit strings read digit-by-digit (IDs, codes, '985') —
+    EXCEPT operands of an arithmetic expression ('123加456' ->
+    一百二十三加四百五十六), which are quantities.  The reference reads
+    all of them digit-by-digit (reference num.py:134) and mismatches
+    its own labeled set on the arithmetic lines."""
+    s = match.group(0)
+    left = match.string[match.start() - 1:match.start()]
+    right = match.string[match.end():match.end() + 1]
+    if ((left in _ARITH_CONTEXT and left) or
+            (right in _ARITH_CONTEXT and right)) and not s.startswith("0"):
+        return num2str(s)
+    return verbalize_digit(s)
+
+
+# game scores: X:Y with a score-word left context, or a pair that
+# cannot be a clock time (beyond-reference: the reference has no score
+# rule and reads '37:16' through its time rule)
+RE_SCORE = re.compile(r"(?<![\d.])(\d{1,3})[::](\d{1,3})(?![\d.])")
+_SCORE_CONTEXT = ("比分", "比赛", "得分", "战胜", "领先", "落后", "大比分")
+
+
+def replace_score_or_time(match) -> str:
+    """X:Y -> X比Y when the left context names a score or the pair is
+    not a valid clock time; otherwise pass through for the time rule."""
+    a, b = int(match.group(1)), int(match.group(2))
+    left = match.string[max(0, match.start() - 6):match.start()]
+    if any(k in left for k in _SCORE_CONTEXT) or a > 24 or b > 59:
+        return num2str(match.group(1)) + "比" + num2str(match.group(2))
+    return match.group(0)
 
 
 def replace_positive_quantifier(match) -> str:

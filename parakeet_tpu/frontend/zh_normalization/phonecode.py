@@ -19,7 +19,10 @@ RE_NATIONAL_UNIFORM_NUMBER = re.compile(r"(400)(-)?\d{3}(-)?\d{4}")
 
 
 def _digits(text: str) -> str:
-    return verbalize_digit(re.sub(r"\D", "", text), alt_one=True)
+    # 1 reads as 一, not 幺: the reference verbalizes phone numbers
+    # with 幺 (phonecode.py:25 alt_one=True) but its own labeled set
+    # (textnorm_test_cases.txt) writes 一 — follow the labels
+    return verbalize_digit(re.sub(r"\D", "", text), alt_one=False)
 
 
 def replace_mobile(match) -> str:

@@ -18,9 +18,11 @@ from .chronology import (RE_DATE, RE_DATE2, RE_TIME, RE_TIME_RANGE,
 from .num import (RE_DECIMAL_NUM, RE_DEFAULT_NUM, RE_FRAC, RE_INTEGER,
                   RE_NUMBER,
                   RE_PERCENTAGE, RE_POSITIVE_QUANTIFIERS, RE_RANGE,
+                  RE_SCORE,
                   replace_default_num, replace_frac, replace_negative_num,
                   replace_number, replace_percentage,
-                  replace_positive_quantifier, replace_range)
+                  replace_positive_quantifier, replace_range,
+                  replace_score_or_time)
 from .phonecode import (RE_MOBILE_PHONE, RE_NATIONAL_UNIFORM_NUMBER,
                         RE_TELEPHONE, replace_mobile, replace_phone)
 from .quantifier import RE_TEMPERATURE, replace_temperature
@@ -60,6 +62,9 @@ class TextNormalizer:
         # order matters: most specific first
         sentence = RE_DATE.sub(replace_date, sentence)
         sentence = RE_DATE2.sub(replace_date2, sentence)
+        # scores before times: '比分…37:16' must read 三十七比十六,
+        # not fall into the clock-time rule (beyond-reference)
+        sentence = RE_SCORE.sub(replace_score_or_time, sentence)
         sentence = RE_TIME_RANGE.sub(replace_time, sentence)
         sentence = RE_TIME.sub(replace_time, sentence)
         sentence = RE_TEMPERATURE.sub(replace_temperature, sentence)

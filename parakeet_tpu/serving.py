@@ -12,8 +12,14 @@ into them, and trims the outputs back per utterance:
 - batch buckets bound the batch axis; a group of same-text-bucket
   requests is cut into chunks of the largest batch bucket and each
   chunk padded up to the smallest bucket that fits (pad rows are
-  zero-length dummy utterances — masked out by the models, trimmed
-  from the output).
+  1-token dummy utterances — masked out by the models, trimmed from
+  the output; a zero-length row would have fully-masked attention
+  and emit NaN).
+
+Requests longer than the largest text bucket are split into segments
+at pause tokens (``split_ids``, falling back to a hard cut) and the
+per-segment waveforms stitched back in order, so no text is ever
+dropped (``overflow="split"``, the default).
 
 The whole batch (FastSpeech2 inference -> denorm -> vocoder z-norm ->
 Parallel WaveGAN) runs as ONE jitted program per grid point with a
@@ -67,13 +73,21 @@ class TTSEngine:
         am_norm / voc_norm: optional ZScore pair — AM output denorm and
             vocoder-domain renorm, applied in-graph like the recipes.
         text_buckets: ascending phone-capacity grid; requests longer
-            than the largest bucket are truncated to it.
+            than the largest bucket follow the ``overflow`` policy.
         batch_buckets: ascending batch-capacity grid; the largest is
             the scheduling chunk size.
         frames_per_token: static decoder capacity per text slot
             (bucket * frames_per_token frames — generous for zh/en at
             reference hop sizes; predicted frames are clipped to it).
         multi_speaker: pass each request's spk_id into the AM.
+        overflow: what to do with requests longer than the largest
+            text bucket: "split" (default) segments the ids at the
+            latest ``split_ids`` pause token that fits (hard cut if
+            none) and stitches the per-segment wavs; "truncate" clips
+            to the largest bucket; "error" raises.
+        split_ids: phone ids that mark natural pause points (silence /
+            punctuation tokens) — preferred segment boundaries when
+            splitting; the segment ENDS with the pause token.
     """
 
     def __init__(self, am, am_vars, *, voc=None, voc_params=None,
@@ -81,7 +95,8 @@ class TTSEngine:
                  text_buckets: Sequence[int] = (32, 64, 128),
                  batch_buckets: Sequence[int] = (1, 2, 4, 8),
                  frames_per_token: int = 8, min_duration: int = 1,
-                 multi_speaker: bool = False):
+                 multi_speaker: bool = False, overflow: str = "split",
+                 split_ids: Sequence[int] = ()):
         if list(text_buckets) != sorted(set(text_buckets)):
             raise ValueError(f"text_buckets must be ascending/unique: "
                              f"{text_buckets}")
@@ -96,6 +111,11 @@ class TTSEngine:
         self.frames_per_token = frames_per_token
         self.min_duration = min_duration
         self.multi_speaker = multi_speaker
+        if overflow not in ("split", "truncate", "error"):
+            raise ValueError(f"overflow must be split|truncate|error, "
+                             f"got {overflow!r}")
+        self.overflow = overflow
+        self.split_ids = frozenset(split_ids)
         self.hop = voc.upsample_factor if voc is not None else None
         self._programs: Dict[Tuple[int, int], Callable] = {}
 
@@ -133,6 +153,18 @@ class TTSEngine:
                            min_duration=self.min_duration,
                            spk_id=spk_id, method=type(am).inference)
             mel, frames = out["after_outs"], out["frame_lengths"]
+            # In-graph edge extension: decoder output beyond each
+            # row's frame_lengths is arbitrary (unmasked) content, and
+            # the vocoder's receptive field would bleed it into the
+            # last ~RF samples of the trimmed wav.  Clamp the time
+            # index so padded frames replicate the row's last real
+            # frame — the engine then matches the recipe path, which
+            # trims mel to n frames before pwg_inference with edge pad
+            # (recipes/fastspeech2/synthesize_e2e.py).  Pinned by
+            # tests/test_serving.py::test_engine_matches_trimmed_vocode.
+            t = jnp.minimum(jnp.arange(mel.shape[1])[None, :],
+                            jnp.maximum(frames, 1)[:, None] - 1)
+            mel = mel[jnp.arange(mel.shape[0])[:, None], t]
             if am_norm is not None:
                 mel = am_norm.inverse(mel)
             if voc is None:
@@ -191,28 +223,86 @@ class TTSEngine:
             else:
                 out[i] = Result(req.utt_id, None, audio[j, :n], n)
 
+    def _segments(self, req: Request, index: int) -> List[List[int]]:
+        """Cut an over-bucket request into synthesizable segments per
+        the overflow policy; in-bucket requests pass through whole."""
+        cap = self.text_buckets[-1]
+        ids = list(req.ids)
+        if len(ids) <= cap:
+            return [ids]
+        if self.overflow == "error":
+            raise ValueError(
+                f"request {index} ({req.utt_id!r}): {len(ids)} phones "
+                f"exceeds the largest text bucket ({cap}) and "
+                f"overflow='error'")
+        if self.overflow == "truncate":
+            return [ids[:cap]]
+        segs: List[List[int]] = []
+        pos = 0
+        while pos < len(ids):
+            if len(ids) - pos <= cap:
+                segs.append(ids[pos:])
+                break
+            cut = pos + cap
+            # prefer ending the segment on the last pause token that
+            # fits, so the cut lands on a natural silence
+            for j in range(pos + cap - 1, pos, -1):
+                if ids[j] in self.split_ids:
+                    cut = j + 1
+                    break
+            segs.append(ids[pos:cut])
+            pos = cut
+        return segs
+
     def synthesize(self, requests: Sequence[Request]) -> List[Result]:
-        """Batch-synthesize; results come back in request order."""
-        by_bucket: Dict[int, List[Tuple[int, Request]]] = {}
+        """Batch-synthesize; results come back in request order.
+        Over-bucket requests are split per ``overflow`` and their
+        segment wavs (or mels) concatenated back into one Result."""
+        subs: List[Request] = []
+        owner: List[int] = []
         for i, req in enumerate(requests):
             if not len(req.ids):
                 raise ValueError(f"request {i} ({req.utt_id!r}): empty "
                                  f"phone sequence")
+            for k, seg in enumerate(self._segments(req, i)):
+                # segment seed is a function of the request seed and
+                # segment index ONLY, preserving batch invariance
+                subs.append(dataclasses.replace(
+                    req, ids=seg,
+                    seed=(req.seed + k * 0x9E3779B1) & 0xFFFFFFFF))
+                owner.append(i)
+        by_bucket: Dict[int, List[Tuple[int, Request]]] = {}
+        for j, req in enumerate(subs):
             by_bucket.setdefault(self._text_bucket(len(req.ids)),
-                                 []).append((i, req))
-        out: List[Optional[Result]] = [None] * len(requests)
+                                 []).append((j, req))
+        sub_out: List[Optional[Result]] = [None] * len(subs)
         cap = self.batch_buckets[-1]
         for tb, group in sorted(by_bucket.items()):
             for s in range(0, len(group), cap):
-                self._run_chunk(group[s:s + cap], tb, out)
+                self._run_chunk(group[s:s + cap], tb, sub_out)
+        out: List[Optional[Result]] = [None] * len(requests)
+        for i in range(len(requests)):
+            parts = [sub_out[j] for j in range(len(subs))
+                     if owner[j] == i]
+            if len(parts) == 1:
+                out[i] = parts[0]
+            else:
+                cat = (lambda xs: None if xs[0] is None
+                       else np.concatenate(xs, axis=0))
+                out[i] = Result(parts[0].utt_id,
+                                cat([p.wav for p in parts]),
+                                cat([p.mel for p in parts]),
+                                sum(p.n_frames for p in parts))
         return out  # type: ignore[return-value]
 
     def warmup(self, batch_buckets: Optional[Sequence[int]] = None,
                text_buckets: Optional[Sequence[int]] = None) -> int:
-        """Pre-compile (and touch) grid points before serving traffic;
-        returns how many programs exist afterwards."""
+        """Pre-compile (and touch) every (text, batch) grid point
+        before serving traffic — tail chunks route to SMALLER batch
+        buckets, so the full grid is the default; returns how many
+        programs exist afterwards."""
         for tb in (text_buckets or self.text_buckets):
-            for bb in (batch_buckets or (self.batch_buckets[-1],)):
+            for bb in (batch_buckets or self.batch_buckets):
                 # ids of exactly tb tokens land in bucket tb
                 reqs = [Request(ids=[1] * tb, seed=k) for k in range(bb)]
                 self.synthesize(reqs)

@@ -75,7 +75,16 @@ def test_zh_textnorm_rules():
     assert "三分之二" in tn.normalize_sentence("2/3")
     assert "两个" in tn.normalize_sentence("2个")
     assert "八点三十分" in tn.normalize_sentence("08:30")
-    assert "幺三九" in tn.normalize_sentence("13912345678")
+    # phone digits read 1 as 一 (the labeled set's convention; the
+    # reference's 幺 mismatches its own labels)
+    assert "一三九" in tn.normalize_sentence("13912345678")
+    # score colons with score context / not-a-time pairs (r5)
+    assert "三十七比十六" in tn.normalize_sentence("比分测试37:16")
+    assert "十七比十六" in tn.normalize_sentence("比分17:16")
+    # arithmetic operands are cardinals; bare digit strings stay
+    # digit-by-digit
+    assert "一百二十三加四百五十六" in tn.normalize_sentence("123加456")
+    assert "九八五" in tn.normalize_sentence("985")
 
 
 def test_pinyin_lexicon_conventions():

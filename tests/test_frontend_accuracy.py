@@ -3,10 +3,10 @@
 Mirrors the reference's accuracy-harness strategy (reference:
 examples/text_frontend/test_g2p.py:33-57, test_textnorm.py:31-51):
 linguistic rules are regression-tested as data with corpus-level
-WER/CER.  Thresholds sit slightly above the measured round-2 numbers
-(zh G2P syllable WER 0.0205, zh textnorm CER 0.0102, en G2P phone WER
-0.0043/0.0080 — see docs/frontend_accuracy.md) so regressions fail
-loudly without flaking.
+WER/CER.  Thresholds sit slightly above the measured numbers
+(zh G2P syllable WER 0.0005 r4, zh textnorm CER 0.0000 r5, en G2P
+phone WER 0.0043/0.0080 — see docs/frontend_accuracy.md) so
+regressions fail loudly without flaking.
 """
 import sys
 from pathlib import Path
@@ -19,7 +19,9 @@ def test_textnorm_corpus_cer():
     from test_textnorm import DEFAULT_DATA, corpus_cer
     cer_val, n = corpus_cer(DEFAULT_DATA)
     assert n >= 100, f"labeled textnorm set shrank: {n}"
-    assert cer_val < 0.02, f"textnorm corpus CER regressed: {cer_val:.4f}"
+    assert cer_val < 0.004, (
+        f"textnorm corpus CER regressed: {cer_val:.4f} (r5 measured "
+        f"0.0000 after the score/phone-幺/arithmetic-operand fixes)")
 
 
 def test_g2p_corpus_wer():

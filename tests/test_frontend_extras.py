@@ -30,7 +30,7 @@ def test_pinyin_with_tone_start_end():
     ("今天是2021年1月1日", "二零二一年"),
     ("气温-5°C", "零下五"),
     ("涨幅3.5%", "百分之三点五"),
-    ("电话010-66122197", "幺"),
+    ("电话010-66122197", "零一零六六一二二一九七"),
 ])
 def test_zh_textnorm_rules(raw, expect_substr):
     tn = TextNormalizer()

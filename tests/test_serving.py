@@ -26,7 +26,7 @@ TINY_PWG = dict(layers=4, stacks=2, residual_channels=8,
 HOP = 4  # prod(upsample_scales)
 
 
-def _build(with_voc=True):
+def _build(with_voc=True, **engine_kw):
     fs2 = FastSpeech2(**TINY_FS2)
     text = jnp.ones((1, 8), jnp.int64)
     tlen = jnp.asarray([8], jnp.int64)
@@ -42,7 +42,7 @@ def _build(with_voc=True):
             jax.random.PRNGKey(1), noise, mel)["params"]
     return TTSEngine(fs2, fs2_vars, voc=voc, voc_params=voc_params,
                      text_buckets=(8, 16), batch_buckets=(1, 2, 4),
-                     frames_per_token=4, min_duration=1)
+                     frames_per_token=4, min_duration=1, **engine_kw)
 
 
 @pytest.fixture(scope="module")
@@ -88,10 +88,74 @@ def test_mixed_buckets_order_and_trim(engine):
         assert o.wav.shape == (o.n_frames * HOP,)
 
 
-def test_truncation_beyond_largest_bucket(engine):
-    (out,) = engine.synthesize(_reqs([40], base_seed=30))  # 40 > 16
-    assert out.n_frames <= engine.max_frames(16)
+def test_long_request_splits_and_stitches(engine):
+    """Default overflow='split': a 40-phone request (largest bucket is
+    16) is segmented, each segment synthesized, and the wavs stitched
+    in order — no text dropped."""
+    req = _reqs([40], base_seed=30)[0]
+    (out,) = engine.synthesize([req])
+    assert out.n_frames > 0
     assert out.wav.shape == (out.n_frames * HOP,)
+    assert np.isfinite(out.wav).all()
+    # the stitched wav starts with exactly the first segment's solo wav
+    seg0 = Request(ids=list(req.ids)[:16], utt_id=req.utt_id,
+                   seed=req.seed)
+    (solo,) = engine.synthesize([seg0])
+    assert out.n_frames > solo.n_frames  # later segments contributed
+    np.testing.assert_allclose(out.wav[:solo.n_frames * HOP], solo.wav,
+                               atol=1e-5)
+
+
+def test_overflow_truncate_and_error():
+    eng = _build(with_voc=False, overflow="truncate")
+    (out,) = eng.synthesize(_reqs([40], base_seed=30))
+    assert out.n_frames <= eng.max_frames(16)
+    eng_err = _build(with_voc=False, overflow="error")
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        eng_err.synthesize(_reqs([40], base_seed=30))
+    with pytest.raises(ValueError, match="overflow"):
+        _build(with_voc=False, overflow="bogus")
+
+
+def test_split_prefers_pause_tokens():
+    """Segment boundaries land on the last pause token that fits the
+    largest bucket; hard cut only when no pause is in the window."""
+    eng = _build(with_voc=False, split_ids=[3])
+    ids = [1] * 10 + [3] + [1] * 10  # 21 phones, pause at index 10
+    segs = eng._segments(Request(ids=ids), 0)
+    assert segs == [ids[:11], ids[11:]]  # ends WITH the pause token
+    nopause = [1] * 21
+    segs = eng._segments(Request(ids=nopause), 0)
+    assert segs == [nopause[:16], nopause[16:]]  # hard cut fallback
+
+
+def test_engine_matches_trimmed_vocode(engine):
+    """The engine's vocoder input beyond each row's frame_lengths is
+    the row's edge-extended last real frame (NOT raw decoder output),
+    so the trimmed wav matches vocoding the trimmed mel — the recipe
+    path's behavior (ADVICE r4)."""
+    req = _reqs([8], base_seed=40)[0]
+    (res,) = engine.synthesize([req])
+    n, tb = res.n_frames, 8
+    # recompute the AM mel exactly as the engine's program does
+    text = np.zeros((1, tb), np.int64)
+    text[0, :len(req.ids)] = req.ids
+    out = engine.am.apply(
+        engine.am_vars, jnp.asarray(text),
+        jnp.asarray([len(req.ids)], np.int64),
+        max_frames=engine.max_frames(tb), min_duration=1, spk_id=None,
+        method=FastSpeech2.inference)
+    mel = np.asarray(out["after_outs"])[0, :n]  # trimmed: real frames
+    # intended vocoder input: trimmed mel edge-extended to capacity,
+    # then the aux-context pad — must reproduce the engine wav exactly
+    idx = np.minimum(np.arange(engine.max_frames(tb)), n - 1)
+    mel_full = jnp.pad(jnp.asarray(mel[idx])[None], ((0, 0), (1, 1),
+                                                     (0, 0)), mode="edge")
+    noise = engine._noise_row(req.seed, tb)[None]
+    wav = engine.voc.apply({"params": engine.voc_params}, noise,
+                           mel_full)[..., 0]
+    np.testing.assert_allclose(res.wav, np.asarray(wav)[0, :n * HOP],
+                               atol=1e-6)
 
 
 def test_empty_request_raises(engine):
@@ -207,3 +271,6 @@ def test_warmup_precompiles(engine):
     before = engine.compiled_programs
     engine.synthesize(_reqs([8, 8], base_seed=70))  # hits (8, 2)
     assert engine.compiled_programs == before
+    # default warmup covers the FULL grid (tail chunks route to
+    # smaller batch buckets, so every point must be warm)
+    assert engine.warmup() == 2 * 3  # text (8,16) x batch (1,2,4)

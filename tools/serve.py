@@ -54,6 +54,11 @@ def main():
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile the full bucket grid before "
                              "timing (serving deployments do)")
+    parser.add_argument("--overflow", default="split",
+                        choices=("split", "truncate", "error"),
+                        help="requests longer than the largest text "
+                             "bucket: split at pause tokens and stitch "
+                             "the wavs (default), truncate, or error")
     from parakeet_tpu.utils.device import add_device_arg, set_device
     add_device_arg(parser)
     args = parser.parse_args()
@@ -89,6 +94,13 @@ def main():
             voc_cfg.get("generator_params", {})))
         voc_params = load_variables(args.pwg_checkpoint)["params"]
 
+    # pause-token ids from the phone vocabulary: preferred boundaries
+    # when a long request must be split across text buckets
+    pause_tokens = {"sp", "sil", "<sp>", "sp1", "sil0", "pau"}
+    split_ids = [int(i) for p, i in
+                 (ln.split() for ln in open(args.phones_dict))
+                 if p in pause_tokens]
+
     batch_buckets = [b for b in (1, 2, 4, 8, 16, 32, 64)
                      if b < args.batch_size] + [args.batch_size]
     engine = TTSEngine(
@@ -100,7 +112,8 @@ def main():
         text_buckets=tuple(args.text_buckets),
         batch_buckets=tuple(sorted(set(batch_buckets))),
         frames_per_token=args.frames_per_token,
-        min_duration=args.min_duration, multi_speaker=multi_speaker)
+        min_duration=args.min_duration, multi_speaker=multi_speaker,
+        overflow=args.overflow, split_ids=split_ids)
 
     get_ids = build_text_to_ids(args.lang, args.phones_dict)
     requests = []
@@ -113,6 +126,13 @@ def main():
         if not ids:
             print(f"skip {utt_id}: empty phone sequence")
             continue
+        cap = max(args.text_buckets)
+        if len(ids) > cap:
+            action = {"split": "splitting at pause tokens",
+                      "truncate": "TRUNCATING to the bucket",
+                      "error": "will raise"}[args.overflow]
+            print(f"warn {utt_id}: {len(ids)} phones exceeds the "
+                  f"largest text bucket ({cap}); {action}")
         requests.append(Request(
             ids=ids, utt_id=utt_id,
             seed=zlib.crc32(utt_id.encode()), spk_id=args.spk_id))
