@@ -1,5 +1,6 @@
 """Mesh/sharding helpers for SPMD data/tensor/sequence/pipeline parallelism."""
-from .mesh import (data_parallel_sharding, fs2_tp_spec, local_batch_slice,
+from .mesh import (data_parallel_sharding, fs2_tp_pp_spec, fs2_tp_spec,
+                   local_batch_slice,
                    make_mesh, pp_stack_spec, process_index, rank_zero_only,
                    replicate, shard_batch, shard_params_by_rule,
                    transformer_tp_spec)
@@ -15,4 +16,4 @@ __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
            "ring_attention", "sequence_parallel_self_attention",
            "make_ring_attn_core", "pipeline_layers", "pipelined_layers",
            "make_pp_layer_runner", "stack_layer_params",
-           "unstack_layer_params", "pp_stack_spec"]
+           "unstack_layer_params", "pp_stack_spec", "fs2_tp_pp_spec"]

@@ -22,23 +22,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
            "rank_zero_only", "process_index", "local_batch_slice",
            "fs2_tp_spec", "transformer_tp_spec", "shard_params_by_rule",
-           "pp_stack_spec"]
+           "pp_stack_spec", "fs2_tp_pp_spec"]
 
 
 def make_mesh(data: int = -1, model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build an ('data', 'model') mesh; data=-1 uses all remaining devices."""
+              devices: Optional[Sequence] = None,
+              pipe: Optional[int] = None) -> Mesh:
+    """Build a ('data', 'model') mesh; data=-1 uses all remaining devices.
+
+    ``pipe`` adds a third axis for composed TP x PP runs — mesh shape
+    (data, model, pipe): tensor parallelism auto-partitions over
+    'model' while the pipeline runner is manual over 'pipe' (partial-
+    manual shard_map, see parallel/pipeline.py)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    p = pipe or 1
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} > {n} devices")
-    devices = devices[:data * model]  # e.g. --dp 2 on an 8-device host
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        if n % (model * p):
+            raise ValueError(
+                f"{n} devices not divisible by model={model} x pipe={p}")
+        data = n // (model * p)
+    if data * model * p > n:
+        raise ValueError(f"mesh {data}x{model}x{p} > {n} devices")
+    devices = devices[:data * model * p]  # e.g. --dp 2 on an 8-device host
+    if pipe is None:
+        dev_array = np.asarray(devices).reshape(data, model)
+        return Mesh(dev_array, axis_names=("data", "model"))
+    dev_array = np.asarray(devices).reshape(data, model, p)
+    return Mesh(dev_array, axis_names=("data", "model", "pipe"))
 
 
 def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
@@ -140,6 +151,17 @@ def pp_stack_spec(path: str, leaf) -> P:
     if "/layers/" in path:
         return P("model")
     return P()
+
+
+def fs2_tp_pp_spec(path: str, leaf) -> P:
+    """PartitionSpec rule for composed TP x PP training state on a
+    3-axis ('data', 'model', 'pipe') mesh: depth-stacked layer params
+    shard their leading L dim over 'pipe' AND their head/FFN-hidden
+    dims over 'model' (the per-layer :func:`fs2_tp_spec`, shifted one
+    dim right by the stack); everything else follows plain TP."""
+    if "/layers/" in path:
+        return P("pipe", *fs2_tp_spec(path, leaf))
+    return fs2_tp_spec(path, leaf)
 
 
 def shard_params_by_rule(params, mesh: Mesh, rule) -> dict:

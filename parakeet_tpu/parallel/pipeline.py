@@ -230,9 +230,18 @@ def make_pp_layer_runner(mesh: Mesh, axis: str = "model", *,
                               and mesh.shape[data_axis] > 1) else None
         fn = partial(pipeline_layers, layer_fn, axis_name=axis,
                      n_microbatches=m)
+        # partial-manual composition: mesh axes beyond the pipe/data
+        # pair (e.g. a 'model' TP axis on a 3-axis DPxTPxPP mesh) stay
+        # AUTO — the stage matmuls are GSPMD-partitioned over them from
+        # the params' NamedShardings (fs2_tp_pp_spec), while ppermute/
+        # psum are manual over the pipe axis only
+        manual = {axis} | ({data_axis} if data_axis in mesh.shape else set())
+        kwargs = {}
+        if set(mesh.axis_names) - manual:
+            kwargs["axis_names"] = frozenset(manual)
         out = jax.shard_map(fn, mesh=mesh,
                             in_specs=(P(axis), P(dspec)),
-                            out_specs=P(dspec))(sp, state)
+                            out_specs=P(dspec), **kwargs)(sp, state)
         return out["h"][:b]
 
     return runner
