@@ -103,10 +103,18 @@ def unflatten_tree(template, flat: Dict[str, np.ndarray]):
 
 
 def save_pytree(path, tree, metadata: Optional[dict] = None) -> None:
-    """Atomically save a pytree (+ JSON metadata) to ``path`` (.npz)."""
+    """Atomically save a pytree (+ JSON metadata) to ``path`` (.npz).
+
+    Multi-process safe: ``flatten_tree``'s gather is a collective, so
+    EVERY process must call this; only process 0 then writes the file
+    (the reference's rank-0-IO discipline, utils/mp_tools.py) — two
+    processes on one host would otherwise race on the same tmp path.
+    """
     path = Path(path)
+    flat = flatten_tree(tree)          # collective (process_allgather)
+    if jax.process_index() != 0:
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
-    flat = flatten_tree(tree)
     flat["__metadata__"] = np.frombuffer(
         json.dumps(metadata or {}).encode(), dtype=np.uint8)
     tmp = path.with_suffix(path.suffix + ".tmp")
