@@ -20,7 +20,8 @@ import numpy as np
 
 
 def bench_batch_size(batch_size: int, iters: int, dtype='float32',
-                     stack_impl='auto'):
+                     stack_impl='auto', disc_impl='policy',
+                     disc_vjp='save', profile=None):
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import (PWGDiscriminator, PWGGenerator,
@@ -34,13 +35,17 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32',
                        gate_channels=128, skip_channels=64,
                        upsample_scales=(4, 5, 3, 5), aux_context_window=2,
                        dtype=dt, stack_impl=stack_impl)
-    # fused disc on the fp32 pallas path only (measured r4: fp32
-    # 67.2 -> 80.5 seq/s bs6 / 62.7 -> 86.6 bs26, but bf16 94.2 -> 82.0
-    # -- the bf16 XLA disc is already MXU-rate and the fused kernel's
-    # half-width K=64 dots plus save streams cost more than they save)
+    # disc_impl='policy' reproduces the measured default routing
+    # (docs/tpu_performance.md): fused kernel on the pallas path,
+    # XLA otherwise.  Explicit 'pallas'/'xla' force one side for A/B
+    # runs; disc_vjp selects the fused kernel's VJP design ('save'
+    # streams per-layer inputs to HBM in the forward, 'recompute'
+    # rebuilds them in the backward's VMEM — wins isolated, loses ~1%
+    # at step level; both measured in docs/tpu_performance.md r5).
+    if disc_impl == "policy":
+        disc_impl = "pallas" if stack_impl == "pallas" else "xla"
     disc = PWGDiscriminator(layers=10, conv_channels=64, dtype=dt,
-                            impl=("pallas" if stack_impl == "pallas"
-                                  and dtype == "float32" else "xla"))
+                            impl=disc_impl, vjp_mode=disc_vjp)
     hop = gen.upsample_factor                      # 300
     batch_max_steps = 25500                        # reference config
     frames = batch_max_steps // hop
@@ -81,6 +86,13 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32',
     state, metrics = step(state, batch)            # first real execution
     np.asarray(metrics["generator_loss"])
 
+    if profile:
+        jax.profiler.start_trace(profile)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        np.asarray(metrics["generator_loss"])
+        jax.profiler.stop_trace()
+
     tic = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
@@ -103,17 +115,32 @@ def main():
                         help="generator residual-stack implementation; "
                              "'pallas' trains through the fused custom-"
                              "VJP kernel (ops/pallas/pwg_stack_train.py)")
+    parser.add_argument("--disc-impl", default="policy",
+                        choices=("policy", "xla", "pallas"),
+                        help="discriminator implementation; 'policy' "
+                             "follows the measured default routing")
+    parser.add_argument("--disc-vjp", default="save",
+                        choices=("recompute", "save"),
+                        help="fused-disc VJP design (A/B measurement; "
+                             "'save' wins ~1% at step level, see "
+                             "docs/tpu_performance.md round 5)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of 3 steps "
+                             "into DIR (feed to tools/op_table.py)")
     args = parser.parse_args()
 
     for bs in args.batch_sizes:
         ips, mfu = bench_batch_size(bs, args.iters, args.dtype,
-                                    args.stack_impl)
+                                    args.stack_impl, args.disc_impl,
+                                    args.disc_vjp, args.profile)
         print(json.dumps({"metric": "pwgan_train_avg_ips",
                           "batch_size": bs,
                           "value": round(ips, 3),
                           "unit": "sequences/sec",
                           "dtype": args.dtype,
-                          "stack_impl": args.stack_impl, **mfu}))
+                          "stack_impl": args.stack_impl,
+                          "disc_impl": args.disc_impl,
+                          "disc_vjp": args.disc_vjp, **mfu}))
 
 
 if __name__ == "__main__":

@@ -671,6 +671,11 @@ class PWGDiscriminator(nn.Module):
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    # fused-kernel VJP design: 'save' streams per-layer inputs to HBM in
+    # the forward; 'recompute' rebuilds them in the backward's VMEM.
+    # Default 'save': recompute wins the isolated kernel A/B but loses
+    # ~1% at GAN-step level on both dtypes (docs/tpu_performance.md r5)
+    vjp_mode: str = "save"
 
     @nn.compact
     def __call__(self, x):
@@ -725,7 +730,8 @@ class PWGDiscriminator(nn.Module):
             kernels.append(k)
             biases.append(b)
             return fused_disc_tail(h.astype(jnp.float32), kernels, biases,
-                                   negative_slope=slope).astype(self.dtype)
+                                   negative_slope=slope,
+                                   vjp_mode=self.vjp_mode).astype(self.dtype)
 
         h = x
         for i in range(self.layers - 1):

@@ -48,6 +48,8 @@ __all__ = ["fused_disc_tail", "fused_disc_supported", "DISC_TAIL_DILS"]
 _BLOCK = 4096
 _HALO = 64        # >= sum(DISC_TAIL_DILS) = 37
 _SLACK = 8        # >= max dilation
+_E = 40           # recompute halo: >= sum(DISC_TAIL_DILS[:-1]) = 36, 8-aligned
+_SP = 8           # recompute work-buffer margin: >= max dilation
 
 # layers 1..8 (dilation = layer index) + the k=3 d=1 output conv
 DISC_TAIL_DILS = (1, 2, 3, 4, 5, 6, 7, 8, 1)
@@ -350,6 +352,185 @@ def _run_bwd(saved, dlog_pad, wkt, *, b, nblk, t_signal, interpret,
     )(saved, dlog_pad, wkt)
 
 
+def _bwd_rc_kernel(x_hbm, dlog_hbm, wk, wkt, bk,
+                   dx0, dwk, dbk,
+                   xdma, dlogb, xwp, streams, dy, dnx, pbuf, tails,
+                   sem_x, sem_g,
+                   *, t_signal: int, block: int, slope: float, nblk: int):
+    """Reverse-grid transpose with IN-VMEM STREAM RECOMPUTE (round 5).
+
+    The save-variant VJP writes nine (B, T, 128) bf16 per-layer input
+    streams in the forward and reads them back here — ~19 MB of HBM
+    round-trip per (batch row, block), which round 4 measured as one of
+    the two causes of the bf16 fused-disc regression (82.0 vs 94.2
+    seq/s @ bs6).  This kernel instead DMAs ONE halo-extended window of
+    the original padded input (the layer-0 output the forward already
+    consumes) and re-runs layers 1..8 in VMEM to rebuild the streams:
+    ~0.9 GFLOP of bf16 MXU work per block in place of the HBM traffic.
+
+    Window arithmetic: the grad pass needs stream rows
+    [win0 - SLACK, win0 + block + SLACK); producing layer j's input
+    exactly there needs x0 extended by sum(dils[:j]) <= 36 rows on each
+    side, so the DMA window is L = block + HALO + 2*SLACK + 2*E rows
+    (E = 40).  Each recomputed layer applies the same mask-multiply as
+    the forward, so central-region streams are bitwise identical to the
+    save variant's (same dot order, same bf16 rounding points).
+    """
+    w = _HALO + block
+    ll = w + 2 * _SLACK + 2 * _E          # recompute window length
+    lead = block
+    bb = pl.program_id(0)
+    f = pl.program_id(1)
+    k = nblk - 1 - f
+    win0 = k * block - _HALO
+
+    cp_x = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(lead + win0 - _SLACK - _E, ll)], xdma, sem_x)
+    cp_g = pltpu.make_async_copy(
+        dlog_hbm.at[bb, pl.ds(lead + win0, w)], dlogb, sem_g)
+    cp_x.start()
+    cp_g.start()
+
+    @pl.when(f == 0)
+    def _():
+        tails[:] = jnp.zeros_like(tails)
+
+    @pl.when(jnp.logical_and(bb == 0, f == 0))
+    def _():
+        dwk[:] = jnp.zeros_like(dwk)
+        dbk[:] = jnp.zeros_like(dbk)
+
+    # full-width row masks (float multiplies only — see _bwd_kernel)
+    rows_w = win0 + jax.lax.broadcasted_iota(jnp.int32, (w, 64), 0)
+    valid_w = (jnp.where(rows_w >= 0, 1.0, 0.0)
+               * jnp.where(rows_w < t_signal, 1.0, 0.0))
+    rows_l = (win0 - _SLACK - _E
+              + jax.lax.broadcasted_iota(jnp.int32, (ll, 64), 0))
+    valid_l = (jnp.where(rows_l >= 0, 1.0, 0.0)
+               * jnp.where(rows_l < t_signal, 1.0, 0.0))
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def dot_rows(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    cp_x.wait()
+    # ---- recompute streams 0..8 (inputs of layers 0..8) in VMEM ----
+    xwp[:_SP] = jnp.zeros_like(xwp[:_SP])
+    xwp[_SP + ll:] = jnp.zeros_like(xwp[_SP + ll:])
+    xwp[_SP:_SP + ll] = xdma[:, :64].astype(jnp.float32) * valid_l
+    for j in range(_LG):
+        streams[j] = xwp[_SP:_SP + ll].astype(jnp.bfloat16)
+        if j < _LG - 1:
+            d = DISC_TAIL_DILS[j]
+            left = xwp[_SP - d:_SP - d + ll].astype(jnp.bfloat16)
+            ctr = xwp[_SP:_SP + ll].astype(jnp.bfloat16)
+            right = xwp[_SP + d:_SP + d + ll].astype(jnp.bfloat16)
+            pre = (dot(left, wk[j, 0]) + dot(ctr, wk[j, 1])
+                   + dot(right, wk[j, 2]) + bk[j])
+            pre = jnp.maximum(pre, 0.0) + slope * jnp.minimum(pre, 0.0)
+            xwp[_SP:_SP + ll] = pre * valid_l
+
+    cp_g.wait()
+    dy[:] = dlogb[:, :64] * valid_w
+
+    offs = []
+    o = 0
+    for d in DISC_TAIL_DILS:
+        offs.append(o)
+        o += d
+
+    c0 = _E + _SLACK + _HALO          # center-row 0 within a stream
+    for j in range(_LG - 1, -1, -1):
+        d = DISC_TAIL_DILS[j]
+        off = offs[j]
+        if j < _LG - 1:
+            # streams[j+1] is this layer's OUTPUT (sign-preserving
+            # LeakyReLU): arithmetic mask, as in _bwd_kernel
+            sg = jnp.sign(streams[j + 1, _E + _SLACK:_E + _SLACK + w, :]
+                          .astype(jnp.float32))
+            dpre = dy[:] * (0.5 * (1.0 + slope)
+                            + 0.5 * (1.0 - slope) * sg)
+        else:
+            dpre = dy[:]
+        dpre_bf = dpre.astype(jnp.bfloat16)
+
+        # weight/bias grads over center rows (streams are already
+        # mask-zeroed outside the signal, matching the save variant's
+        # valid_x multiply)
+        dpre_c = dpre_bf[_HALO:_HALO + block]
+        dwk[j, 0] = dwk[j, 0] + dot_rows(
+            streams[j, c0 - d:c0 - d + block], dpre_c)
+        dwk[j, 1] = dwk[j, 1] + dot_rows(
+            streams[j, c0:c0 + block], dpre_c)
+        dwk[j, 2] = dwk[j, 2] + dot_rows(
+            streams[j, c0 + d:c0 + d + block], dpre_c)
+        dbk[j] = dbk[j] + jnp.sum(dpre[_HALO:_HALO + block], axis=0,
+                                  keepdims=True)
+
+        # input gradient: dx[i] = p_l[i+d] + p_c[i] + p_r[i-d]
+        pbuf[:] = dot(dpre_bf, wkt[j])                     # (w, 192)
+        dnx[:] = pbuf[:, 64:128]
+        dnx[0:w - d] = dnx[0:w - d] + pbuf[d:w, 0:64]
+        dnx[w - d:w] = dnx[w - d:w] + tails[off:off + d]
+        tails[off:off + d] = pbuf[_HALO:_HALO + d, 0:64]
+        dnx[d:w] = dnx[d:w] + pbuf[0:w - d, 128:192]
+        dy[:] = dnx[:]
+
+    dx0[0] = jnp.concatenate(
+        [dy[_HALO:_HALO + block], jnp.zeros((block, 64), jnp.float32)],
+        axis=1)
+
+
+def _run_bwd_rc(x_pad, dlog_pad, wk, wkt, bk, *, b, nblk, t_signal,
+                interpret, block, slope):
+    blk = block
+    w = _HALO + blk
+    ll = w + 2 * _SLACK + 2 * _E
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda bb, f: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_rc_kernel, t_signal=t_signal, block=blk,
+                          slope=slope, nblk=nblk),
+        grid=(b, nblk),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  wspec((_LG, 3, 64, 64)), wspec((_LG, 64, 192)),
+                  wspec((_LG, 1, 64))],
+        out_specs=[
+            pl.BlockSpec((1, blk, 128),
+                         lambda bb, f: (bb, nblk - 1 - f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LG, 3, 64, 64), lambda bb, f: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LG, 1, 64), lambda bb, f: (0, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nblk * blk, 128), jnp.float32),
+            jax.ShapeDtypeStruct((_LG, 3, 64, 64), jnp.float32),
+            jax.ShapeDtypeStruct((_LG, 1, 64), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ll, 128), jnp.bfloat16),
+                        pltpu.VMEM((w, 128), jnp.float32),
+                        pltpu.VMEM((ll + 2 * _SP, 64), jnp.float32),
+                        pltpu.VMEM((_LG, ll, 64), jnp.bfloat16),
+                        pltpu.VMEM((w, 64), jnp.float32),
+                        pltpu.VMEM((w, 64), jnp.float32),
+                        pltpu.VMEM((w, 192), jnp.float32),
+                        pltpu.VMEM((_SUM_D, 64), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(x_pad, dlog_pad, wk, wkt, bk)
+
+
 def _pack_weights(kernels, biases):
     """kernels: list of 9 (3, 64, cout) f32 (cout 64, last 1);
     biases: list of 9 (cout,) f32.  Returns (wk, wkt, bk)."""
@@ -376,7 +557,7 @@ def _pad_x(x, blk, nblk):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _disc_apply(static, x, wk, wkt, bk):
-    t, blk, nblk, slope, interpret = static
+    t, blk, nblk, slope, interpret, _vjp = static
     x_pad = _pad_x(x, blk, nblk)
     (out,) = _run_fwd(x_pad, wk, bk, b=x.shape[0], nblk=nblk, t_signal=t,
                       interpret=interpret, save=False, block=blk,
@@ -385,8 +566,15 @@ def _disc_apply(static, x, wk, wkt, bk):
 
 
 def _disc_fwd(static, x, wk, wkt, bk):
-    t, blk, nblk, slope, interpret = static
+    t, blk, nblk, slope, interpret, vjp = static
     x_pad = _pad_x(x, blk, nblk)
+    if vjp == "recompute":
+        # saveless forward; the backward rebuilds the per-layer streams
+        # in VMEM from x_pad (see _bwd_rc_kernel)
+        (out,) = _run_fwd(x_pad, wk, bk, b=x.shape[0], nblk=nblk,
+                          t_signal=t, interpret=interpret, save=False,
+                          block=blk, slope=slope)
+        return out[:, :t, :1], (x_pad, wk, wkt, bk)
     out, saved = _run_fwd(x_pad, wk, bk, b=x.shape[0], nblk=nblk,
                           t_signal=t, interpret=interpret, save=True,
                           block=blk, slope=slope)
@@ -394,20 +582,28 @@ def _disc_fwd(static, x, wk, wkt, bk):
 
 
 def _disc_bwd(static, res, dlogits):
-    t, blk, nblk, slope, interpret = static
-    saved, wkt = res
+    t, blk, nblk, slope, interpret, vjp = static
     b = dlogits.shape[0]
-    # the forward never writes the lead/trail pad blocks of the saved
-    # streams: zero them so the backward's halo reads are finite (a
-    # masked multiply then suffices — no i1 selects in the kernel)
-    zeros_pad = jnp.zeros(saved.shape[:2] + (blk, 128), saved.dtype)
-    saved = saved.at[:, :, :blk].set(zeros_pad)
-    saved = saved.at[:, :, -blk:].set(zeros_pad)
     dlog_pad = jnp.pad(dlogits.astype(jnp.float32),
                        ((0, 0), (blk, nblk * blk - t), (0, 127)))
-    dx_pad, dwk, dbk = _run_bwd(saved, dlog_pad, wkt, b=b, nblk=nblk,
-                                t_signal=t, interpret=interpret,
-                                block=blk, slope=slope)
+    if vjp == "recompute":
+        x_pad, wk, wkt, bk = res
+        dx_pad, dwk, dbk = _run_bwd_rc(x_pad, dlog_pad, wk, wkt, bk,
+                                       b=b, nblk=nblk, t_signal=t,
+                                       interpret=interpret, block=blk,
+                                       slope=slope)
+    else:
+        saved, wkt = res
+        # the forward never writes the lead/trail pad blocks of the
+        # saved streams: zero them so the backward's halo reads are
+        # finite (a masked multiply then suffices — no i1 selects in
+        # the kernel)
+        zeros_pad = jnp.zeros(saved.shape[:2] + (blk, 128), saved.dtype)
+        saved = saved.at[:, :, :blk].set(zeros_pad)
+        saved = saved.at[:, :, -blk:].set(zeros_pad)
+        dx_pad, dwk, dbk = _run_bwd(saved, dlog_pad, wkt, b=b, nblk=nblk,
+                                    t_signal=t, interpret=interpret,
+                                    block=blk, slope=slope)
     dx = dx_pad[:, :t, :64]
     zt = jnp.zeros_like
     # wk/wkt/bk are functions of the same kernels; route the whole
@@ -418,13 +614,21 @@ def _disc_bwd(static, res, dlogits):
 _disc_apply.defvjp(_disc_fwd, _disc_bwd)
 
 
-def fused_disc_tail(h, kernels, biases, *, negative_slope: float = 0.2):
+def fused_disc_tail(h, kernels, biases, *, negative_slope: float = 0.2,
+                    vjp_mode: str = "save"):
     """Fused discriminator layers 1..9: h (B, T, 64) = the XLA layer-0
     output; kernels/biases: 9 effective (weight-norm-folded) (3, 64,
     cout) kernels (cout = 64 x8, then 1).  Returns logits (B, T, 1)
-    f32.  Differentiable (custom VJP; bf16 matmul semantics)."""
+    f32.  Differentiable (custom VJP; bf16 matmul semantics).
+
+    ``vjp_mode='save'`` (default) streams the per-layer inputs to HBM
+    in the forward; ``'recompute'`` keeps the forward saveless and
+    rebuilds the streams in the backward's VMEM (bitwise-equal grads;
+    wins the isolated kernel A/B but loses ~1% at GAN-step level —
+    docs/tpu_performance.md round 5)."""
     b, t, c = h.shape
     assert c == 64
+    assert vjp_mode in ("recompute", "save"), vjp_mode
     blk = _BLOCK
     nblk = -(-t // blk)
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -433,5 +637,5 @@ def fused_disc_tail(h, kernels, biases, *, negative_slope: float = 0.2):
     # below yields packed-space dwk/dbk (and zero for the
     # backward-only wkt, whose value the function ignores), and XLA
     # transposes the stack/concat/pad packing
-    static = (t, blk, nblk, float(negative_slope), interpret)
+    static = (t, blk, nblk, float(negative_slope), interpret, vjp_mode)
     return _disc_apply(static, h.astype(jnp.float32), wk, wkt, bk)

@@ -110,6 +110,34 @@ def test_fused_disc_tail_grads_match_xla():
             f"db[{j}] rel-L2 {rel_l2(g_f[2][j], g_x[2][j])}"
 
 
+def test_vjp_recompute_matches_save_bitwise():
+    """The round-5 recompute VJP rebuilds the per-layer streams in the
+    backward with the same dot order and bf16 rounding points as the
+    save variant's forward, so its gradients must be BITWISE equal to
+    the save-mode gradients (not merely close)."""
+    t = 6000
+    rng = np.random.default_rng(3)
+    kernels, biases = _make_weights(rng)
+    h = jnp.asarray(rng.normal(size=(2, t, 64)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(2, t, 1)), jnp.float32)
+
+    def loss(mode):
+        def f(h, kernels, biases):
+            return jnp.sum(fused_disc_tail(
+                h, kernels, biases, negative_slope=SLOPE,
+                vjp_mode=mode) * ct)
+        return jax.grad(f, argnums=(0, 1, 2))(h, kernels, biases)
+
+    g_r = loss("recompute")
+    g_s = loss("save")
+    np.testing.assert_array_equal(np.asarray(g_r[0]), np.asarray(g_s[0]))
+    for j in range(len(DISC_TAIL_DILS)):
+        np.testing.assert_array_equal(np.asarray(g_r[1][j]),
+                                      np.asarray(g_s[1][j]))
+        np.testing.assert_array_equal(np.asarray(g_r[2][j]),
+                                      np.asarray(g_s[2][j]))
+
+
 def test_pwg_discriminator_impl_pallas_integration():
     """PWGDiscriminator(impl='pallas') must share the XLA variant's
     param tree exactly (checkpoints interchangeable) and agree on
