@@ -43,7 +43,9 @@ def bench_batch_size(batch_size: int, iters: int, dtype='float32',
     # rebuilds them in the backward's VMEM — wins isolated, loses ~1%
     # at step level; both measured in docs/tpu_performance.md r5).
     if disc_impl == "policy":
-        disc_impl = "pallas" if stack_impl == "pallas" else "xla"
+        # defer to the Module's dtype-aware routing (fused kernel on
+        # TPU+fp32+supported only; 'pallas'/'xla' below FORCE one side)
+        disc_impl = "auto"
     disc = PWGDiscriminator(layers=10, conv_channels=64, dtype=dt,
                             impl=disc_impl, vjp_mode=disc_vjp)
     hop = gen.upsample_factor                      # 300

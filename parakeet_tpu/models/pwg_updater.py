@@ -13,8 +13,9 @@ XLA program.  The warm-up gating is resolved on the HOST, not with
 round 5), so ``make_pwg_train_step`` compiles two specialized programs
 (discriminator statically off / statically on) and dispatches by a
 host-side step counter — data-dependent control flow stays out of the
-compiled graph.  State buffers are donated, schedulers are optax
-schedules inside the optimizer chains.
+compiled graph (net +2.4–3.7 ms/step on the bs6 bf16 GAN step).
+State buffers are donated, schedulers are optax schedules inside the
+optimizer chains.
 """
 from __future__ import annotations
 
@@ -62,8 +63,8 @@ def make_pwg_train_step(generator, discriminator, gen_tx, disc_tx, *,
     programs — discriminator statically off (pure generator pre-training)
     and statically on — switched by a python step counter initialised
     from ``state.step`` on first call (one host sync total).  A
-    ``lax.cond`` gate instead costs 14.6 ms/step on the bs6 bf16 GAN
-    step (round-5 op table, docs/tpu_performance.md): XLA conditionals
+    ``lax.cond`` gate instead costs a net 2.4–3.7 ms/step on the bs6
+    bf16 GAN step (round-5, docs/tpu_performance.md): XLA conditionals
     block fusion and copy their operands, and they pay that price on
     EVERY step of the run, long after the warm-up boundary has passed.
     """
