@@ -29,8 +29,20 @@ def main():
                              "VMEM (nn/flash.py) and skips attention-"
                              "weight dropout, so the attn dropout rates "
                              "are set to 0 for that run")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of 3 steps "
+                             "into DIR (feed the xplane.pb to "
+                             "tools/op_table.py)")
+    parser.add_argument("--rng", default="threefry",
+                        choices=("threefry", "rbg"),
+                        help="device RNG algorithm; 'rbg' lifts this "
+                             "dropout-heavy step 644 -> 1078 seq/s bf16 "
+                             "(+67%%; docs/tpu_performance.md round 5, "
+                             "recipe knob: rng_impl)")
     args = parser.parse_args()
 
+    from parakeet_tpu.training.seeding import configure_rng_impl
+    configure_rng_impl(args.rng)
     import jax
     import jax.numpy as jnp
     from parakeet_tpu.models import (FastSpeech2, init_fs2_train_state,
@@ -79,6 +91,13 @@ def main():
         flops = compiled_flops(step_dense.lower(state, batch).compile())
     state, metrics = step(state, batch)
     np.asarray(metrics["loss"])
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        np.asarray(metrics["loss"])
+        jax.profiler.stop_trace()
 
     tic = time.perf_counter()
     for _ in range(args.iters):

@@ -129,7 +129,14 @@ def main():
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of 3 steps "
                              "into DIR (feed to tools/op_table.py)")
+    parser.add_argument("--rng", default="threefry",
+                        choices=("threefry", "rbg"),
+                        help="device RNG algorithm (recipe knob: "
+                             "rng_impl; see docs/tpu_performance.md r5)")
     args = parser.parse_args()
+
+    from parakeet_tpu.training.seeding import configure_rng_impl
+    configure_rng_impl(args.rng)
 
     for bs in args.batch_sizes:
         ips, mfu = bench_batch_size(bs, args.iters, args.dtype,

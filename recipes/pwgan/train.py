@@ -68,7 +68,8 @@ def main():
     maybe_initialize_multihost()
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
-    seed_everything(cfg.get("seed", 0))
+    seed_everything(cfg.get("seed", 0),
+                    rng_impl=cfg.get("rng_impl"))
 
     gen_params_cfg = resolve_model_kwargs(cfg.get("generator_params", {}))
     acw = gen_params_cfg.get("aux_context_window", 2)

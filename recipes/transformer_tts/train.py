@@ -61,7 +61,8 @@ def main():
     maybe_initialize_multihost()
 
     cfg = Config.from_yaml(args.config).merge_opts(args.opts)
-    seed_everything(cfg.get("seed", 0))
+    seed_everything(cfg.get("seed", 0),
+                    rng_impl=cfg.get("rng_impl"))
 
     train_dl = build_dataloader(args.train_metadata, cfg, True)
     dev_dl = build_dataloader(args.dev_metadata, cfg, False)
