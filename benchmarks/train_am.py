@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""AR acoustic-model training throughput: Tacotron2 / TransformerTTS.
+"""Acoustic-model training throughput: Tacotron2 / TransformerTTS /
+SpeedySpeech.
 
 Completes the per-family training perf story (FastSpeech2/PWGAN/GE2E
 have dedicated benches): N jitted train steps at reference-like shapes
@@ -60,6 +61,30 @@ def bench_model(name, iters, dtype):
         state = init_transformer_tts_train_state(
             model, tx, jax.random.PRNGKey(0), batch)
         step = make_transformer_tts_train_step(model, tx)
+    elif name == "speedyspeech":
+        import jax.numpy as jnp
+        from parakeet_tpu.models import (SpeedySpeech,
+                                         init_speedyspeech_train_state,
+                                         make_speedyspeech_train_step)
+        b, t, frames = 32, 96, 640
+        durations = np.full((b, t), frames // t, np.int64)
+        durations[:, -1] += frames - durations[0].sum()
+        batch = {
+            "phones": jnp.asarray(rng.integers(
+                1, 80, (b, t)).astype(np.int64)),
+            "tones": jnp.asarray(rng.integers(
+                0, 8, (b, t)).astype(np.int64)),
+            "durations": jnp.asarray(durations),
+            "feats": jnp.asarray(rng.standard_normal(
+                (b, frames, 80)).astype(np.float32)),
+            "num_phones": jnp.asarray(np.full(b, t, np.int64)),
+            "num_frames": jnp.asarray(np.full(b, frames, np.int64)),
+        }
+        model = SpeedySpeech(vocab_size=80, tone_size=8, dtype=dt)
+        tx = build_optimizer("adam", 1e-3)
+        state = init_speedyspeech_train_state(model, tx,
+                                              jax.random.PRNGKey(0), batch)
+        step = make_speedyspeech_train_step(model, tx)
     else:
         raise ValueError(name)
 
