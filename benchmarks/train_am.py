@@ -1,19 +1,21 @@
 #!/usr/bin/env python
-"""Acoustic-model training throughput: Tacotron2 / TransformerTTS /
-SpeedySpeech.
+"""Per-family training throughput: Tacotron2 / TransformerTTS /
+SpeedySpeech / WaveFlow.
 
 Completes the per-family training perf story (FastSpeech2/PWGAN/GE2E
 have dedicated benches): N jitted train steps at reference-like shapes
-(batch 32, 96 tokens, 640 frames), reporting the trainer's avg_ips
-metric (reference: parakeet/training/trainer.py:160-168).
+(batch 32, 96 tokens, 640 frames; WaveFlow at its reference bs8 /
+65-frame clips), reporting the trainer's avg_ips metric (reference:
+parakeet/training/trainer.py:160-168).
 
-Both models run per-step dropout inside their teacher-forced decoders,
-so the device RNG algorithm matters (--rng; see the FastSpeech2
-threefry autopsy in docs/tpu_performance.md round 5).
+The AR models run dropout inside their teacher-forced decoders, so
+the device RNG algorithm matters for them (--rng; measured defaults
+per family in docs/tpu_performance.md round 5: rbg wins large parallel
+draws, threefry wins tiny per-scan-step draws).
 
 Usage: PYTHONPATH=.:/root/.axon_site python benchmarks/train_am.py \
-           [--models tacotron2 transformer_tts] [--iters 20] \
-           [--dtype bfloat16] [--rng rbg]
+           [--models tacotron2 transformer_tts speedyspeech waveflow] \
+           [--iters 20] [--dtype bfloat16] [--rng rbg]
 """
 import argparse
 import json
@@ -61,6 +63,26 @@ def bench_model(name, iters, dtype):
         state = init_transformer_tts_train_state(
             model, tx, jax.random.PRNGKey(0), batch)
         step = make_transformer_tts_train_step(model, tx)
+    elif name == "waveflow":
+        # vocoder, not an AM, but benched here for the per-family
+        # training table: reference protocol bs8, 65-frame mel clips
+        # (recipes/waveflow/conf/default.yaml; upsample 16*16=256)
+        import jax.numpy as jnp
+        from parakeet_tpu.models import (ConditionalWaveFlow,
+                                         init_waveflow_train_state,
+                                         make_waveflow_train_step)
+        b, frames, hop = 8, 65, 256
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal(
+                (b, frames * hop)).astype(np.float32) * 0.1),
+            "mel": jnp.asarray(rng.standard_normal(
+                (b, frames, 80)).astype(np.float32)),
+        }
+        model = ConditionalWaveFlow(dtype=dt)
+        tx = build_optimizer("adam", 2e-4)
+        state = init_waveflow_train_state(model, tx,
+                                          jax.random.PRNGKey(0), batch)
+        step = make_waveflow_train_step(model, tx)
     elif name == "speedyspeech":
         import jax.numpy as jnp
         from parakeet_tpu.models import (SpeedySpeech,
